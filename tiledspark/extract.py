@@ -1,0 +1,54 @@
+"""Coordinate extraction + crawl dedupe over `pages` (SURVEY.md ops 14, 23).
+
+extract_coords parses the SPEC-PINNED geo-token grammar (FIXTURES.md §2):
+
+    geo:(-?\\d{1,2}\\.\\d{6}),(-?\\d{1,3}\\.\\d{6})
+
+entirely with native Column functions (regexp_extract + try_cast — no UDF,
+whole-stage codegen). `text` is carried through UNTOUCHED: the per-url
+byte-identical-text invariant (BASELINE.json input_hint) means no transform
+here may re-encode, trim, or rebuild the text column.
+
+Spark 4 note: ANSI mode makes `.cast` throw on a failed regexp match, so all
+casts here are `try_cast` (non-matching rows yield null lat/lon, preserved by
+extract_coords and filtered only by consumers that need coordinates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+GEO_RX = r"geo:(-?\d{1,2}\.\d{6}),(-?\d{1,3}\.\d{6})"
+
+
+def _geo_group(text: Column, group: int) -> Column:
+    return F.regexp_extract(text, GEO_RX, group).try_cast("double")
+
+
+def extract_coords(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages -> doc_points: adds lat/lon doubles (null when no geo token).
+
+    Reference semantics analogue: tiled-db assigns each OSM node its lat/lon
+    from the PBF stream; here the document's coordinates are embedded in its
+    extracted text (north_star: "geocodes/embeds each document's extracted
+    coordinates").
+    """
+    has_token = F.regexp_like(F.col(text_col), F.lit(GEO_RX))
+    return pages.withColumn(
+        "lat", F.when(has_token, _geo_group(F.col(text_col), 1))
+    ).withColumn(
+        "lon", F.when(has_token, _geo_group(F.col(text_col), 2))
+    )
+
+
+def dedupe_latest_by_url(pages: DataFrame) -> DataFrame:
+    """Keep the newest crawl per url (op 23). warc_ts is unique per row in the
+    synth corpus, so the result is deterministic; url is the tiebreak anyway.
+    """
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators over `documents` (training-data pipeline surface):
+token counting, quality scoring, fingerprinting, exact dedup. All UDF-free —
+split/transform/filter/aggregate are native higher-order functions, so these
+stay inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledspark.registry import query, table
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
+
+
+@query(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           LEN(list_distinct(string_split(text, ' '))) AS n_distinct,
+           LENGTH(text) AS n_chars_actual,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           LEN(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stopwords,
+           ROUND(CAST(LEN(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+               / LEN(string_split(text, ' ')), 6) AS stop_ratio,
+           LIST_MAX(list_transform(string_split(text, ' '), x -> LENGTH(x))) AS max_token_len,
+           ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / LEN(string_split(text, ' ')), 6) AS ttr
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stop_ratio"),
+        F.array_max(F.transform(toks, lambda x: F.length(x))).alias("max_token_len"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp, LENGTH(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"),
+                    F.length("text").alias("n_chars_actual"))
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content fingerprint; keeper = min doc_id.
+    The map-side partial agg makes this one shuffle of (fp, count) pairs —
+    at 100 TB the shuffle carries fingerprints, never the documents."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+@query(
+    "text_langid",
+    """
+    SELECT lang AS lang_actual, COUNT(*) AS n_docs,
+           ROUND(AVG(LEN(string_split(text, ' '))), 6) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Language profile per labeled lang (the n-gram classifier itself is in
+    tiledspark.textops and golden-tested; here the oracle-checkable profile)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.col("lang").alias("lang_actual"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Similarity search over `embeddings` (training-data pipeline surface).
+
+Brute-force cosine top-k is the correctness baseline (oracle-checked against
+DuckDB); the LSH-bucketed scale path lives in tiledspark.vector and is tested
+against this baseline in pytest. Dot products run as native higher-order
+functions (zip_with + aggregate) in double precision — deterministic order
+(list order), rounded to 4dp on both sides so engine-level ulp jitter cannot
+flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiledspark.registry import query, table
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sqnorm(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_DOT_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+
+
+@query(
+    "vector_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               ROUND({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                     / (SQRT({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                        * SQRT({_DOT_SQL.format(a='q.qv', b='q.qv')})), 4) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def vector_topk_bruteforce(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (F.sqrt(_sqnorm(F.col("embedding"))) * F.sqrt(_sqnorm(F.col("qv")))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+@query(
+    "vector_norms",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(SQRT(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS avg_l2
+    FROM embeddings GROUP BY label
+    """,
+)
+def vector_norms(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.sqrt(_sqnorm(F.col("embedding")))), 6).alias("avg_l2"),
+    )

@@ -1,0 +1,204 @@
+"""Quadtree tile tree: per-tile counts rolled up the hierarchy + the
+deterministic split/merge fixpoint (SURVEY.md op 13; reference semantics:
+tiled-db's tile-split/merge snapshot tests, SPEC-PINNED rule §1.3).
+
+SPEC-PINNED split/merge rule (frozen; golden fixtures derive from it):
+- a tile at zoom z in [Z_BASE, Z_MAX) SPLITS while doc_count > max_docs;
+- sibling groups MERGE into their parent (zoom < Z_BASE) while the parent's
+  combined count < max_docs / 4;
+- applied bottom-up then top-down → unique fixpoint → deterministic tree.
+
+Resulting leaf rule (provably equivalent, and what the implementation uses —
+one pass over the count table instead of an iterative rewrite):
+- leaf at z in (Z_BASE, Z_MAX]: every ancestor in [Z_BASE, z) has
+  count > max_docs, and (count <= max_docs or z == Z_MAX);
+- leaf at Z_BASE: count <= max_docs and parent count >= max_docs/4;
+- leaf at z < Z_BASE: count < max_docs/4 and (z == 0 or parent count >=
+  max_docs/4)  [all descendants absorbed — 'merged' state below the leaf].
+
+States in the emitted tree (SURVEY.md §1.2 tile_tree):
+  'materialized' = a leaf; 'split' = has materialized descendants deeper;
+  'merged' = absorbed into a shallower merged leaf; 'interior' = rollup
+  ancestor above the leaf level.
+
+Scale shape: TWO shuffles total regardless of zoom depth — one groupBy at
+Z_MAX (map-side partial combine does the heavy lifting), then one explode of
+the (already tiny) tile-count table over its ancestor chain + re-aggregate.
+No per-zoom passes over the documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tiledspark import tiles
+from tiledspark.tiles import MAX_DOCS_PER_TILE, Z_BASE, Z_MAX
+
+
+def tile_counts_all_zooms(doc_points: DataFrame, z_max: int = Z_MAX) -> DataFrame:
+    """doc_points(lat, lon, ...) -> counts(tile_id, zoom, doc_count) for every
+    zoom in [0, z_max]. Docs without coordinates are excluded."""
+    base = (
+        doc_points.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .withColumn("tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), z_max))
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    anc = base.select(
+        F.explode(tiles.tile_ancestors_expr(F.col("tile_id"))).alias("tile_id"),
+        "doc_count",
+    )
+    counts = anc.groupBy("tile_id").agg(F.sum("doc_count").alias("doc_count"))
+    z, _, _ = tiles.tile_unpack_exprs(F.col("tile_id"))
+    return counts.withColumn("zoom", z)
+
+
+def build_tile_tree(
+    doc_points: DataFrame,
+    max_docs: int = MAX_DOCS_PER_TILE,
+    z_base: int = Z_BASE,
+    z_max: int = Z_MAX,
+) -> DataFrame:
+    """-> tile_tree(tile_id, zoom, x, y, parent_id, doc_count, state).
+
+    The golden tile-tree artifact (BASELINE.json: "golden tile-tree match rate
+    100%"). Deterministic: pure function of the doc coordinates.
+    """
+    counts = tile_counts_all_zooms(doc_points, z_max).cache()
+    merge_thresh = max_docs / 4.0
+
+    parent = tiles.tile_parent_expr(F.col("tile_id"))
+    with_parent = counts.withColumn(
+        "parent_id", F.when(F.col("zoom") > 0, parent)
+    )
+    # attach parent count (self-join on the small count table; broadcast-size
+    # at any realistic tile cardinality relative to docs)
+    pc = counts.select(
+        F.col("tile_id").alias("parent_id"), F.col("doc_count").alias("parent_count")
+    )
+    t = with_parent.join(pc, "parent_id", "left")
+
+    # 'reached' for z > z_base: every ancestor in [z_base, z) has count > max.
+    # Iterative small joins, (z_max - z_base) rounds over the count table only.
+    reached = t.where(F.col("zoom") == z_base).select("tile_id")
+    reached_by_zoom = {z_base: reached}
+    split_parents = t.where(
+        (F.col("zoom") >= z_base) & (F.col("zoom") < z_max) & (F.col("doc_count") > max_docs)
+    ).select("tile_id")
+    for z in range(z_base + 1, z_max + 1):
+        prev_split = reached_by_zoom[z - 1].join(
+            split_parents, "tile_id", "left_semi"
+        ).select(F.col("tile_id").alias("parent_id"))
+        reached_by_zoom[z] = (
+            t.where(F.col("zoom") == z)
+            .join(F.broadcast(prev_split), "parent_id", "left_semi")
+            .select("tile_id")
+        )
+    reached_all = reached_by_zoom[z_base]
+    for z in range(z_base + 1, z_max + 1):
+        reached_all = reached_all.unionByName(reached_by_zoom[z])
+
+    is_reached = F.col("_reached").isNotNull()
+    t = t.join(
+        reached_all.withColumn("_reached", F.lit(1)), "tile_id", "left"
+    )
+
+    deep_leaf = (
+        (F.col("zoom") > z_base)
+        & is_reached
+        & ((F.col("doc_count") <= max_docs) | (F.col("zoom") == z_max))
+    )
+    base_leaf = (
+        (F.col("zoom") == z_base)
+        & (F.col("doc_count") <= max_docs)
+        & (F.coalesce(F.col("parent_count"), F.lit(0.0)) >= merge_thresh)
+    )
+    shallow_leaf = (
+        (F.col("zoom") < z_base)
+        & (F.col("doc_count") < merge_thresh)
+        & ((F.col("zoom") == 0) | (F.col("parent_count") >= merge_thresh))
+    )
+    is_leaf = deep_leaf | base_leaf | shallow_leaf
+
+    is_split = (
+        (F.col("zoom") >= z_base)
+        & (F.col("zoom") < z_max)
+        & (F.col("doc_count") > max_docs)
+        & ((F.col("zoom") == z_base) | is_reached)
+    )
+    # merged: at/below z_base but above no-leaf — absorbed into a shallower
+    # merged leaf (its own count < merge_thresh chain). A tile at z <= z_base
+    # is merged iff some ancestor at z' < z is a leaf, equivalently its parent
+    # count < merge_thresh (parent merged or is the merged leaf).
+    is_merged = (
+        (F.col("zoom") <= z_base)
+        & (F.col("zoom") > 0)
+        & ~is_leaf
+        & ~is_split
+        & (F.col("parent_count") < merge_thresh)
+    )
+
+    state = (
+        F.when(is_leaf, F.lit("materialized"))
+        .when(is_split, F.lit("split"))
+        .when(is_merged, F.lit("merged"))
+        .otherwise(F.lit("interior"))
+    )
+
+    # drop unreachable deep tiles (descendants of non-split tiles)
+    keep = (F.col("zoom") <= z_base) | is_reached
+    z_, x_, y_ = tiles.tile_unpack_exprs(F.col("tile_id"))
+    out = (
+        t.where(keep)
+        .select(
+            "tile_id",
+            F.col("zoom"),
+            x_.alias("x"),
+            y_.alias("y"),
+            F.col("parent_id"),
+            F.col("doc_count"),
+            state.alias("state"),
+        )
+    )
+    counts.unpersist()
+    return out
+
+
+def assign_docs_to_leaves(
+    doc_points: DataFrame,
+    tree: DataFrame,
+    z_max: int = Z_MAX,
+) -> DataFrame:
+    """Attach each doc's final (leaf) tile: compute the doc's tile at z_max,
+    explode its ancestor chain, equi-join against the leaf set — each doc
+    matches exactly one leaf. One equi-join; the leaf table broadcasts when
+    small, shuffles cleanly otherwise."""
+    leaves = tree.where(F.col("state") == "materialized").select(
+        F.col("tile_id").alias("leaf_tile_id")
+    )
+    docs = (
+        doc_points.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .withColumn("_deep", tiles.tile_id_expr(F.col("lon"), F.col("lat"), z_max))
+        .withColumn("leaf_tile_id", F.explode(tiles.tile_ancestors_expr(F.col("_deep"))))
+        .drop("_deep")
+    )
+    return docs.join(leaves, "leaf_tile_id", "inner")
+
+
+def canonical_tree_rows(tree: DataFrame) -> list[dict]:
+    """Canonical serialization for goldens (FIXTURES.md §4): sorted by
+    tile_id, ints as decimal strings."""
+    rows = tree.orderBy("tile_id").collect()
+    return [
+        {
+            "tile_id": str(r["tile_id"]),
+            "zoom": str(r["zoom"]),
+            "x": str(r["x"]),
+            "y": str(r["y"]),
+            "parent_id": "" if r["parent_id"] is None else str(r["parent_id"]),
+            "doc_count": str(r["doc_count"]),
+            "state": r["state"],
+        }
+        for r in rows
+    ]
