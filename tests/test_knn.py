@@ -1,0 +1,68 @@
+"""kNN cell-ring expansion vs brute-force oracle (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tiledspark.extract import dedupe_latest_by_url, extract_coords
+from tiledspark.knn import knn_cell_ring, haversine_m
+
+
+def _np_haversine(qlat, qlon, lat, lon):
+    R = 6371008.8
+    dlat = np.radians(lat - qlat)
+    dlon = np.radians(lon - qlon)
+    a = (
+        np.sin(dlat / 2) ** 2
+        + np.cos(np.radians(qlat)) * np.cos(np.radians(lat)) * np.sin(dlon / 2) ** 2
+    )
+    return 2 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+
+def test_knn_matches_bruteforce(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    docs = (
+        dedupe_latest_by_url(extract_coords(pages))
+        .where(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")
+        .cache()
+    )
+    docs_pdf = docs.toPandas()
+
+    rng = np.random.default_rng(99)
+    # half near the data clusters, half in sparse regions (forces both the
+    # ring-resolution path and the brute-force straggler path)
+    idx = rng.choice(len(docs_pdf), 10, replace=False)
+    q_lat = np.concatenate([docs_pdf["lat"].to_numpy()[idx] + 0.01, rng.uniform(-55, 65, 10)])
+    q_lon = np.concatenate([docs_pdf["lon"].to_numpy()[idx] + 0.01, rng.uniform(-170, 170, 10)])
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(20), "lat": q_lat, "lon": q_lon})
+    )
+
+    got = knn_cell_ring(spark, docs, queries, k=5, zoom=8, max_radius=8).toPandas()
+
+    lat = docs_pdf["lat"].to_numpy()
+    lon = docs_pdf["lon"].to_numpy()
+    urls = docs_pdf["url"].to_numpy()
+    for qid in range(20):
+        d = _np_haversine(q_lat[qid], q_lon[qid], lat, lon)
+        order = np.lexsort((urls, d))[:5]
+        exp_urls = list(urls[order])
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert list(sub["url"]) == exp_urls, f"query {qid}: {list(sub['url'])} != {exp_urls}"
+        # distances agree with the oracle to float tolerance
+        np.testing.assert_allclose(sub["dist_m"].to_numpy(), d[order], rtol=1e-9)
+    docs.unpersist()
+
+
+def test_haversine_known_distance(spark):
+    # London -> Paris ≈ 343.5 km
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [51.5074], "b": [-0.1278], "c": [48.8566], "d": [2.3522]})
+    )
+    m = df.select(
+        haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+    ).collect()[0]["m"]
+    assert abs(m - 343_500) < 2_000

@@ -1,0 +1,58 @@
+"""ANN (hyperplane LSH) vs brute-force recall + near-dup pair detection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tiledspark.vector import ann_topk_lsh, embedding_near_dup_pairs, with_lsh_buckets
+
+
+def _clustered_embeddings(n_clusters=20, per_cluster=20, dim=64, seed=21):
+    """Realistic ANN workload: tight clusters (near-dups), not uniform noise."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            v = centers[c] + rng.standard_normal(dim) * 0.15
+            rows.append((c * per_cluster + j, v.astype(np.float32).tolist(), c))
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    pdf = _clustered_embeddings()
+    emb = spark.createDataFrame(pdf)
+    mats = np.array([np.asarray(e, np.float64) for e in pdf["embedding"]])
+    q = mats[0]
+    cos = (mats @ q) / (np.linalg.norm(mats, axis=1) * np.linalg.norm(q))
+    cos[0] = -2  # exclude self
+    exact_top = set(pdf["vec_id"].to_numpy()[np.argsort(-cos)[:10]].tolist())
+
+    got = ann_topk_lsh(
+        spark, emb.where(F.col("vec_id") != 0), list(map(float, q)), k=10
+    ).toPandas()
+    recall = len(set(got["vec_id"].tolist()) & exact_top) / 10.0
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_lsh_bucket_determinism(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/../sf0.01/embeddings.parquet")
+    a = with_lsh_buckets(emb).select("vec_id", "buckets").toPandas().sort_values("vec_id")
+    b = with_lsh_buckets(emb.repartition(7)).select("vec_id", "buckets").toPandas().sort_values("vec_id")
+    assert [list(x) for x in a["buckets"]] == [list(x) for x in b["buckets"]]
+
+
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    rows.append((30, (base[3] + rng.standard_normal(16).astype(np.float32) * 0.01).tolist()))
+    rows.append((31, base[7].tolist()))  # exact dup of 7
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    pairs = embedding_near_dup_pairs(df, dim=16, min_cos=0.95).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (3, 30) in found and (7, 31) in found, found
+    # random independent gaussians almost never reach cos 0.95
+    assert len(found) <= 4

@@ -1,0 +1,183 @@
+"""Grid-partitioned kNN via cell-ring expansion (SURVEY.md op 19; north_star:
+"grid-partitioned kNN via cell-ring expansion").
+
+Strategy: doubling block radii. Round t explores the (2r+1)x(2r+1) tile block
+around each unresolved query (r = 1, 2, 4, ...): explode the block cells on
+the (small) query side, equi-join against the doc cell index, take each
+query's k nearest by haversine. A query RESOLVES when its kth distance is <=
+the exact geographic distance from the query point to the block's edge — any
+unseen doc lies beyond that edge, so the top-k is provably final.
+Stragglers in empty regions fall back to a broadcast brute-force pass.
+
+Scale shape: the docs side is touched only through equi-joins on cell (hash
+shuffle or broadcast of the exploded query cells — queries are the small
+side). No cross join ever materializes at planet scale; per round the work is
+|queries_unresolved| x block_cells join fan-in.
+
+Distances: haversine in native Column math (op 20 — UDF-free, codegen'd).
+Ties broken by doc key → fully deterministic output.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiledspark import tiles
+
+EARTH_R = 6371008.8  # meters (IUGG mean)
+
+
+def haversine_m(lat1, lon1, lat2, lon2):
+    """Great-circle distance in meters, pure Column math."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def _tile_lat_bounds(y, zoom):
+    """Mercator tile north/south latitude bounds as Column exprs."""
+    n = float(1 << zoom)
+    def lat_of(yy):
+        return F.degrees(F.atan(F.sinh(F.lit(math.pi) * (1 - 2 * yy / F.lit(n)))))
+    return lat_of(y + F.lit(1.0)), lat_of(y.cast("double"))  # (south, north)
+
+
+def knn_cell_ring(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    zoom: int = 8,
+    doc_key: str = "url",
+    max_radius: int = 64,
+) -> DataFrame:
+    """docs(lat, lon, <doc_key>), queries(query_id, lat, lon) ->
+    (query_id, rank, <doc_key>, dist_m). Deterministic."""
+    doc_cells = (
+        docs.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .select(
+            F.col(doc_key).alias("_dk"),
+            F.col("lat").alias("d_lat"),
+            F.col("lon").alias("d_lon"),
+            tiles.tile_id_expr(F.col("lon"), F.col("lat"), zoom).alias("cell"),
+        )
+        .cache()
+    )
+    n = 1 << zoom
+    q0 = queries.select(
+        "query_id",
+        F.col("lat").alias("q_lat"),
+        F.col("lon").alias("q_lon"),
+        tiles.tile_x_expr(F.col("lon"), zoom).alias("qx"),
+        tiles.tile_y_expr(F.col("lat"), zoom).alias("qy"),
+    )
+
+    resolved_parts: list[DataFrame] = []
+    unresolved = q0
+    r = 1
+    while r <= max_radius and unresolved.take(1):
+        # block cells: x wraps around the antimeridian, y clips at the poles
+        dxy = F.sequence(F.lit(-r), F.lit(r))
+        cand_cells = (
+            unresolved.withColumn("dx", F.explode(dxy))
+            .withColumn("dy", F.explode(dxy))
+            .select(
+                "query_id", "q_lat", "q_lon", "qx", "qy",
+                tiles.tile_pack_expr(
+                    zoom,
+                    F.pmod(F.col("qx") + F.col("dx"), F.lit(n)),
+                    F.col("qy") + F.col("dy"),
+                ).alias("cell"),
+                F.col("dy"),
+            )
+            .where((F.col("qy") + F.col("dy") >= 0) & (F.col("qy") + F.col("dy") < n))
+            .drop("dy")
+            .distinct()
+        )
+        topk = (
+            cand_cells.join(doc_cells, "cell")
+            .withColumn(
+                "dist_m",
+                haversine_m(F.col("q_lat"), F.col("q_lon"), F.col("d_lat"), F.col("d_lon")),
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.asc("dist_m"), F.asc("_dk"))
+                ),
+            )
+            .where(F.col("rank") <= k)
+        )
+        stats = topk.groupBy("query_id", "q_lat", "q_lon", "qx", "qy").agg(
+            F.count(F.lit(1)).alias("n_found"), F.max("dist_m").alias("kth_dist")
+        )
+        # Exact lower bound on any UNSEEN doc = distance to the block edge.
+        # Latitudinal: haversine straight north/south to the edge parallels.
+        # Longitudinal: cross-track distance to the great circle through the
+        # edge meridian, R*asin(|sin(dlon)|*cos(lat)) — the along-parallel
+        # distance would OVERestimate and resolve queries too early.
+        s_edge, _ = _tile_lat_bounds(F.col("qy") + F.lit(float(r)), zoom)
+        _, n_edge = _tile_lat_bounds(F.col("qy") - F.lit(float(r)), zoom)
+        at_pole_n = (F.col("qy") - r) <= 0
+        at_pole_s = (F.col("qy") + r) >= (n - 1)
+        dlon_rad = math.radians(r * 360.0 / n)
+        wraps = (2 * r + 1) >= n
+        lon_bound = (
+            F.lit(float("inf"))
+            if wraps
+            else F.lit(EARTH_R)
+            * F.asin(F.abs(F.lit(math.sin(dlon_rad))) * F.cos(F.radians(F.col("q_lat"))))
+        )
+        edge_bound = F.least(
+            lon_bound,
+            F.when(at_pole_s, F.lit(float("inf"))).otherwise(
+                haversine_m(F.col("q_lat"), F.col("q_lon"), s_edge, F.col("q_lon"))
+            ),
+            F.when(at_pole_n, F.lit(float("inf"))).otherwise(
+                haversine_m(F.col("q_lat"), F.col("q_lon"), n_edge, F.col("q_lon"))
+            ),
+        )
+        stats = stats.withColumn("bound", edge_bound)
+        done_ids = stats.where(
+            (F.col("n_found") == k) & (F.col("kth_dist") <= F.col("bound"))
+        ).select("query_id")
+        resolved_parts.append(
+            topk.join(done_ids, "query_id", "left_semi").select(
+                "query_id", "rank", F.col("_dk").alias(doc_key), "dist_m"
+            )
+        )
+        unresolved = unresolved.join(done_ids, "query_id", "left_anti")
+        r *= 2
+
+    # stragglers: brute force (queries side is tiny by now)
+    if unresolved.take(1):
+        brute = (
+            unresolved.crossJoin(doc_cells.drop("cell"))
+            .withColumn(
+                "dist_m",
+                haversine_m(F.col("q_lat"), F.col("q_lon"), F.col("d_lat"), F.col("d_lon")),
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.asc("dist_m"), F.asc("_dk"))
+                ),
+            )
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", F.col("_dk").alias(doc_key), "dist_m")
+        )
+        resolved_parts.append(brute)
+
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    doc_cells.unpersist()
+    return out

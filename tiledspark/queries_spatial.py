@@ -96,3 +96,63 @@ def dedupe_latest_by_url_q(spark, sf_dir):
     pages = _synth_pages(spark, sf_dir)
     out = dedupe_latest_by_url(pages)
     return out.select("url", "warc_ts", F.sha2(F.col("text"), 256).alias("text_sha"), "lang")
+
+
+@query("spatial_join_zones")
+def spatial_join_zones(spark, sf_dir):
+    """Op 17/18: broadcast-or-partitioned spatial hash join with PIP
+    refinement over the synthetic pages x zones corpus (rows-only; the
+    byte-for-byte golden + brute-force oracle live in pytest)."""
+    from tiledspark import synth
+    from tiledspark.extract import dedupe_latest_by_url, extract_coords
+    from tiledspark.join import spatial_join
+
+    pages = _synth_pages(spark, sf_dir)
+    docs = (
+        dedupe_latest_by_url(extract_coords(pages))
+        .where(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")
+    )
+    zones = spark.read.parquet(synth.ensure_zones(_SYNTH_CACHE))
+    return spatial_join(spark, docs, zones).orderBy("zone_id", "url")
+
+
+@query("knn_cell_ring")
+def knn_cell_ring_q(spark, sf_dir):
+    """Op 19/20: grid-partitioned kNN via cell-ring expansion, 20 seeded
+    query points (rows-only; brute-force oracle in pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    from tiledspark.extract import dedupe_latest_by_url, extract_coords
+    from tiledspark.knn import knn_cell_ring
+
+    pages = _synth_pages(spark, sf_dir)
+    docs = (
+        dedupe_latest_by_url(extract_coords(pages))
+        .where(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")
+    )
+    rng = np.random.default_rng(99)
+    queries_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.arange(20),
+                "lat": rng.uniform(-55, 65, 20),
+                "lon": rng.uniform(-170, 170, 20),
+            }
+        )
+    )
+    out = knn_cell_ring(spark, docs, queries_df, k=5, zoom=8)
+    return out.select("query_id", "rank", "url", F.round("dist_m", 3).alias("dist_m"))
+
+
+@query("tile_tree_build")
+def tile_tree_build(spark, sf_dir):
+    """Op 13: the golden tile-tree artifact (rows-only; frozen-golden in pytest)."""
+    from tiledspark.extract import dedupe_latest_by_url, extract_coords
+    from tiledspark.tree import build_tile_tree
+
+    pages = _synth_pages(spark, sf_dir)
+    docs = dedupe_latest_by_url(extract_coords(pages))
+    return build_tile_tree(docs).orderBy("tile_id")

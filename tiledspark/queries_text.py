@@ -120,3 +120,29 @@ def text_langid(spark, sf_dir):
             F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
         )
     )
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs over documents (rows-only;
+    planted-dup recall verified in pytest)."""
+    from tiledspark.textops import lsh_candidate_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "doc_id", est_threshold=0.2).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    from tiledspark.textops import simhash_near_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", max_hamming=12).orderBy("id_a", "id_b")
+
+
+@query("lang_id_predict")
+def lang_id_predict(spark, sf_dir):
+    from tiledspark.textops import lang_id_expr
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))

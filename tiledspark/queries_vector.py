@@ -86,3 +86,24 @@ def vector_norms(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg(F.sqrt(_sqnorm(F.col("embedding")))), 6).alias("avg_l2"),
     )
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    """Multi-table hyperplane-LSH ANN vs the brute-force baseline above
+    (rows-only; recall asserted in pytest)."""
+    from tiledspark.vector import ann_topk_lsh
+
+    e = table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ann_topk_lsh(spark, e.where(F.col("vec_id") != 0), qvec, k=10).select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+@query("embedding_near_dups")
+def embedding_near_dups(spark, sf_dir):
+    from tiledspark.vector import embedding_near_dup_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, min_cos=0.5).orderBy("id_a", "id_b")

