@@ -1,0 +1,106 @@
+"""Snapshot store: commit/read/time-travel, copy-on-write diffs (old+new
+bucket rewrite on moves), lineage, resumable per-zoom builds."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiledspark import synth, tiles
+from tiledspark.extract import dedupe_latest_by_url, extract_coords
+from tiledspark.snapshot import SnapshotStore, checkpointed_tile_build
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "store"), n_buckets=8)
+
+
+def _doc_tiles(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    docs = dedupe_latest_by_url(extract_coords(pages))
+    return docs.where(F.col("lat").isNotNull()).withColumn(
+        "tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE)
+    ).select("url", "warc_ts", "text", "lang", "lat", "lon", "tile_id")
+
+
+def test_commit_read_roundtrip_and_lineage(spark, pages_path, store):
+    df = _doc_tiles(spark, pages_path)
+    n = df.count()
+    sid = store.commit(df, key_col="tile_id", index_key="url")
+    back = store.read(spark)
+    assert back.count() == n
+    m = store.manifest(sid)
+    assert m["lineage"]["output_rows"] == n
+    assert len(m["lineage"]["per_partition"]) == len(m["files"])
+    assert m["index_path"] and os.path.exists(os.path.join(store.root, m["index_path"]))
+
+
+def test_apply_diff_copy_on_write_and_moves(spark, pages_path, store):
+    df = _doc_tiles(spark, pages_path).cache()
+    store.commit(df, key_col="tile_id", index_key="url")
+    base_m = store.manifest()
+
+    delta_path = synth.ensure_diff_batches(
+        os.path.join(os.path.dirname(pages_path)), 5_000, n_batches=1
+    )[0]
+    raw = spark.read.parquet(delta_path)
+    delta = extract_coords(raw).withColumn(
+        "tile_id",
+        F.when(
+            F.col("lat").isNotNull(),
+            tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE),
+        ).otherwise(F.lit(0)),
+    ).select("url", "warc_ts", "text", "lang", "lat", "lon", "tile_id", "op")
+
+    sid2 = store.apply_diff(spark, delta, row_key="url", key_col="tile_id")
+    m2 = store.manifest(sid2)
+    # copy-on-write: some base files carried by reference
+    carried = {f["path"] for f in m2["files"]} & {f["path"] for f in base_m["files"]}
+    assert m2["diff"]["n_carried_files"] == len(carried)
+
+    after = store.read(spark).cache()
+    raw_rows = raw.collect()
+    deleted = {r["url"] for r in raw_rows if r["op"] == "delete"}
+    upserted = {r["url"]: r["text"] for r in raw_rows if r["op"] == "upsert"}
+    got_urls = {r["url"] for r in after.select("url").distinct().collect()}
+    assert not (deleted - set(upserted)) & got_urls, "deleted urls survived"
+    # upserts present exactly once with the NEW text (byte-identical invariant)
+    up = after.where(F.col("url").isin(list(upserted)[:50])).collect()
+    seen = {}
+    for r in up:
+        assert seen.setdefault(r["url"], r["text"]) == r["text"]
+        assert r["text"] == upserted[r["url"]], "upserted text mismatch"
+    # no url duplicated anywhere (old bucket rewritten on moves)
+    dup = after.groupBy("url").count().where(F.col("count") > 1).count()
+    assert dup == 0
+    # time travel: snapshot 1 still shows the pre-diff state
+    before = store.time_travel(spark, 1)
+    assert before.count() == df.count()
+    df.unpersist()
+    after.unpersist()
+
+
+def test_checkpointed_build_resumes(spark, pages_path, store):
+    pages = spark.read.parquet(pages_path)
+    docs = dedupe_latest_by_url(extract_coords(pages))
+    zooms = [4, 6, 8]
+    first = checkpointed_tile_build(store, docs, zooms)
+    assert sorted(first) == zooms
+    resumed: list[int] = []
+    second = checkpointed_tile_build(store, docs, zooms + [10], resumed_from=resumed)
+    assert sorted(resumed) == zooms, "existing zooms should be skipped"
+    assert second[4] == first[4] and second[10] > first[8]
+    # committed counts match a direct computation
+    z8 = store.read(spark, first[8])
+    direct = (
+        docs.where(F.col("lat").isNotNull())
+        .withColumn("tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), 8))
+        .groupBy("tile_id")
+        .count()
+    )
+    joined = z8.join(direct, "tile_id")
+    assert joined.where(F.col("doc_count") != F.col("count")).count() == 0
+    assert z8.count() == direct.count()

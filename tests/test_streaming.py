@@ -1,0 +1,127 @@
+"""Structured Streaming: windowed aggs == batch oracles, watermark dedupe,
+and the foreachBatch diff-commit loop (the tiled-db minutely-diff analogue)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiledspark import synth
+from tiledspark.snapshot import SnapshotStore
+from tiledspark.streaming import (
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    stream_commit_diffs,
+    stream_dedupe,
+    stream_events,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path, spark):
+    # split events into 3 files so the stream runs 3 micro-batches
+    d = str(tmp_path / "events_stream")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.repartition(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _batch_events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_streaming_tumbling_equals_batch(spark, events_dir):
+    got = tumbling_counts(stream_events(spark, events_dir))
+    run_to_memory(got, "tumbling_out")
+    s = spark.sql("SELECT * FROM tumbling_out").toPandas()
+    b = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+        .toPandas()
+    )
+    key = ["win_start", "event_type"]
+    s = s.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["n"].to_numpy() == b["n"].to_numpy()).all()
+    assert (s["total_value"].to_numpy() == b["total_value"].to_numpy()).all()
+
+
+def test_streaming_sliding_and_session_run(spark, events_dir):
+    run_to_memory(sliding_counts(stream_events(spark, events_dir)), "sliding_out")
+    n_slide = spark.sql("SELECT count(*) c FROM sliding_out").collect()[0]["c"]
+    assert n_slide > 0
+    # micro-batches arrive out of time-order (repartition(3) split), so for
+    # an exact streaming==batch equality the watermark must exceed the data
+    # span — with a realistic 1h watermark the stream correctly DROPS
+    # cross-batch late events, which is the semantics, not a bug
+    run_to_memory(
+        session_counts(stream_events(spark, events_dir), watermark="60 days"),
+        "session_out",
+    )
+    n_sess = spark.sql("SELECT count(*) c FROM session_out").collect()[0]["c"]
+    # sessions == batch session_window count
+    b = (
+        _batch_events(spark)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .count()
+    )
+    assert n_sess == b
+
+
+def test_stream_dedupe_drops_replayed_ids(spark, tmp_path):
+    d = str(tmp_path / "dup_stream")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200).cache()
+    ev.write.mode("overwrite").parquet(d + "/a")
+    ev.write.mode("append").parquet(d + "/a")  # replay the same ids
+    deduped = stream_dedupe(stream_events(spark, d + "/a", files_per_trigger=100))
+    run_to_memory(deduped.groupBy().count(), "dedup_out", output_mode="complete")
+    n = spark.sql("SELECT * FROM dedup_out").collect()[0]["count"]
+    assert n == 200, f"expected 200 unique events, got {n}"
+    ev.unpersist()
+
+
+def test_stream_commit_diffs_layers(spark, tmp_path, pages_path):
+    from pyspark.sql import functions as F
+    from tiledspark import tiles
+    from tiledspark.extract import dedupe_latest_by_url, extract_coords
+
+    store = SnapshotStore(str(tmp_path / "store"), n_buckets=256)
+    pages = spark.read.parquet(pages_path)
+    base = (
+        dedupe_latest_by_url(extract_coords(pages))
+        .where(F.col("lat").isNotNull())
+        .withColumn("tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE))
+        .select("url", "warc_ts", "text", "lang", "lat", "lon", "tile_id")
+    )
+    store.commit(base, key_col="tile_id", index_key="url")
+
+    diff_files = synth.ensure_diff_batches(
+        str(tmp_path / "synth"), 5_000, n_batches=3, rows=100
+    )
+    diffs_dir = str(tmp_path / "diffs_in")
+    os.makedirs(diffs_dir)
+    for p in diff_files:
+        shutil.copy(p, diffs_dir)
+
+    committed = stream_commit_diffs(
+        spark, diffs_dir, store, str(tmp_path / "ckpt")
+    )
+    assert len(committed) == 3, f"expected 3 micro-batch commits, got {committed}"
+    assert store.snapshots() == [1, 2, 3, 4]
+    # layering is copy-on-write: later manifests carry earlier files
+    m = store.manifest()
+    assert m["diff"]["n_carried_files"] > 0
+    # final state has no duplicate urls
+    after = store.read(spark)
+    assert after.groupBy("url").count().where(F.col("count") > 1).count() == 0

