@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The BASELINE metric is docs/sec tiled+joined: docs_per_sec below is
+(deduped geocoded docs) / (tile-build + tile-tree + spatial-join wall time).
+Scaling evidence (local[8] vs local[32]) is produced by bench/run_scaling.py
+and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tiledspark import synth, tiles  # noqa: E402
+from tiledspark.extract import dedupe_latest_by_url, extract_coords  # noqa: E402
+from tiledspark.session import get_spark  # noqa: E402
+
+BENCH_CACHE = os.path.join(_REPO, ".bench_cache")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    n_pages = synth.pages_rows_for_sf_dir(sf_dir)
+    pages_path = synth.ensure_pages(BENCH_CACHE, n_pages)
+    zones_path = synth.ensure_zones(BENCH_CACHE)
+
+    spark = get_spark(master=master, app_name="tiledspark-bench")
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- headline pipeline: ingest -> extract -> dedupe -> tile -> tree -> join
+    pages = spark.read.parquet(pages_path)
+
+    def _build():
+        docs = (
+            dedupe_latest_by_url(extract_coords(pages))
+            .where(F.col("lat").isNotNull())
+            .withColumn(
+                "tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE)
+            )
+            .select("url", "lat", "lon", "tile_id")
+        )
+        docs.cache()
+        return docs, docs.count()
+
+    docs, n_docs = timed("tile_build", _build)
+
+    def _tree():
+        from tiledspark.tree import build_tile_tree
+
+        return build_tile_tree(docs.select("url", "lat", "lon")).count()
+
+    tree_rows = timed("tile_tree", _tree)
+
+    def _join():
+        from tiledspark.join import spatial_join
+
+        zones = spark.read.parquet(zones_path)
+        return spatial_join(spark, docs.select("url", "lat", "lon"), zones).count()
+
+    join_rows = timed("spatial_join", _join)
+
+    def _knn():
+        import numpy as np
+        import pandas as pd
+
+        from tiledspark.knn import knn_cell_ring
+
+        rng = np.random.default_rng(99)
+        q = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": np.arange(20),
+                    "lat": rng.uniform(-55, 65, 20),
+                    "lon": rng.uniform(-170, 170, 20),
+                }
+            )
+        )
+        return knn_cell_ring(spark, docs.select("url", "lat", "lon"), q, k=5, zoom=8).count()
+
+    timed("knn_cell_ring", _knn)
+
+    # --- relational headliners over the driver tables
+    from tiledspark.registry import build_queries
+
+    queries = build_queries()
+    for name in ("agg_hash_basic", "join_inner_hash", "window_frame_agg", "join_range"):
+        timed(name, lambda n=name: queries[n](spark, sf_dir).count())
+
+    # --- training-data pipeline headliners
+    for name in ("dedup_exact", "dedup_minhash_lsh", "vector_topk_bruteforce", "ann_lsh_topk"):
+        timed(name, lambda n=name: queries[n](spark, sf_dir).count())
+
+    # --- snapshot commit throughput
+    def _commit():
+        from tiledspark.snapshot import SnapshotStore
+
+        d = tempfile.mkdtemp(prefix="bench_store_")
+        try:
+            store = SnapshotStore(d, n_buckets=32)
+            store.commit(docs, key_col="tile_id", index_key="url")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    timed("snapshot_commit", _commit)
+
+    pipeline_sec = timings["tile_build"] + timings["tile_tree"] + timings["spatial_join"]
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "docs/sec tiled+joined (headline suite wall time)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "n_docs": n_docs,
+        "tree_rows": tree_rows,
+        "join_rows": join_rows,
+        "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
+        "master": master,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
