@@ -37,7 +37,9 @@ def main() -> None:
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
-    n_pages = synth.pages_rows_for_sf_dir(sf_dir)
+    n_pages = int(
+        os.environ.get("SPARK_GRAFT_PAGES_N", synth.pages_rows_for_sf_dir(sf_dir))
+    )
     pages_path = synth.ensure_pages(BENCH_CACHE, n_pages)
     zones_path = synth.ensure_zones(BENCH_CACHE)
 

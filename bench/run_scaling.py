@@ -20,8 +20,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(master: str, sf_dir: str) -> dict:
+def run_once(master: str, sf_dir: str, pages_n: int | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_MASTER=master, SPARK_GRAFT_SF_DIR=sf_dir)
+    if pages_n:
+        env["SPARK_GRAFT_PAGES_N"] = str(pages_n)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -38,13 +40,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--pages-n",
+        type=int,
+        default=4_000_000,
+        help="scaling corpus size — large enough that compute dominates the "
+        "fixed job overheads a 180k-doc corpus drowns in",
+    )
     args = ap.parse_args()
 
     results: dict[str, list[dict]] = {}
     for master in ("local[8]", "local[32]"):
         results[master] = []
         for i in range(args.runs):
-            r = run_once(master, args.sf_dir)
+            r = run_once(master, args.sf_dir, args.pages_n)
             results[master].append(r)
             print(
                 f"{master} run {i + 1}/{args.runs}: total={r['value']}s "
