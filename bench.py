@@ -56,6 +56,9 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
 
     def _build():
+        # "tiled" per the north_star = quadtree tile + H3/S2 cell indexes
+        from tiledspark.cells import with_cell_indexes
+
         docs = (
             dedupe_latest_by_url(extract_coords(pages))
             .where(F.col("lat").isNotNull())
@@ -64,6 +67,7 @@ def main() -> None:
             )
             .select("url", "lat", "lon", "tile_id")
         )
+        docs = with_cell_indexes(docs, s2_level=13, h3_res=7)
         docs.cache()
         return docs, docs.count()
 

@@ -43,6 +43,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_all() -> None:
     # import for side effects: each module registers its queries
     from tiledspark import queries_relational  # noqa: F401
+    from tiledspark import queries_extra  # noqa: F401
     from tiledspark import queries_window  # noqa: F401
     from tiledspark import queries_spatial  # noqa: F401
     from tiledspark import queries_text  # noqa: F401

@@ -34,9 +34,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("TILEDSPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("TILEDSPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # single-file synthetic corpora must still split across all cores:
+        # 32 MB input partitions → a 1.5 GB file feeds 48 tasks, not 12
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
