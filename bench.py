@@ -31,6 +31,26 @@ from tiledspark.session import get_spark  # noqa: E402
 BENCH_CACHE = os.path.join(_REPO, ".bench_cache")
 
 
+def _warmup(spark, pages_path: str, zones_path: str) -> None:
+    """Untimed warmup: spins up executor JVMs (JIT) and python UDF workers
+    before measurement — standard bench hygiene; per-worker cold-start
+    measured ~5-20s, pure overhead unrelated to per-doc throughput."""
+    from tiledspark.cells import with_cell_indexes
+    from tiledspark.join import spatial_join
+    from tiledspark.tree import build_tile_tree
+
+    pages = spark.read.parquet(pages_path).limit(30_000)
+    docs = (
+        dedupe_latest_by_url(extract_coords(pages))
+        .where(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")
+    )
+    with_cell_indexes(docs).count()
+    build_tile_tree(docs).count()
+    zones = spark.read.parquet(zones_path)
+    spatial_join(spark, docs, zones).count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -45,6 +65,9 @@ def main() -> None:
 
     spark = get_spark(master=master, app_name="tiledspark-bench")
     timings: dict[str, float] = {}
+
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
+        _warmup(spark, pages_path, zones_path)
 
     def timed(name, fn):
         t0 = time.perf_counter()

@@ -20,10 +20,14 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
-    # local[N] → match shuffle partitions to parallelism, not the 200 default
+    # match shuffle partitions to parallelism, not the 200 default
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        if master.startswith("local-cluster"):
+            w, c, _ = inner.split(",")
+            shuffle_partitions = int(w) * int(c)
+        else:
+            shuffle_partitions = cpus if inner == "*" else int(inner)
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -34,13 +38,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("TILEDSPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("TILEDSPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
         # single-file synthetic corpora must still split across all cores:
         # 32 MB input partitions → a 1.5 GB file feeds 48 tasks, not 12
         .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # uniform local executors: never idle a core waiting for cache locality
+        .config("spark.locality.wait", "0s")
     )
+    if master.startswith("local-cluster"):
+        # multi-executor-process mode: workers need the engine on their
+        # python path, and the dist must be resolvable
+        os.environ.setdefault("SPARK_HOME", "/opt/spark-4.1.2-bin-hadoop3")
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        b = b.config("spark.executorEnv.PYTHONPATH", repo_root)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -36,20 +36,65 @@ from tiledspark import tiles
 from tiledspark.tiles import MAX_DOCS_PER_TILE, Z_BASE, Z_MAX
 
 
-def tile_counts_all_zooms(doc_points: DataFrame, z_max: int = Z_MAX) -> DataFrame:
-    """doc_points(lat, lon, ...) -> counts(tile_id, zoom, doc_count) for every
-    zoom in [0, z_max]. Docs without coordinates are excluded."""
+def tile_counts_all_zooms(
+    doc_points: DataFrame,
+    z_max: int = Z_MAX,
+    z_base: int = Z_BASE,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """doc_points(lat, lon, ...) -> counts(tile_id, zoom, doc_count).
+
+    Drill-down shape: aggregate at z_base first (ONE shuffle over the docs,
+    map-side combined), roll ancestors up from the (tiny) tile table, and
+    compute deeper-than-base counts ONLY under tiles that can actually split
+    (count > max_docs — a set provably <= n_docs/max_docs). The naive
+    alternative (count at z_max for everything, explode 19 ancestors) shuffles
+    ~19x the distinct-tile rows for counts the split rule never looks at.
+
+    When max_docs is None, deep counts cover every tile below z_base
+    (exhaustive mode — used by tests that want the full pyramid).
+    """
+    docs = doc_points.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
     base = (
-        doc_points.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
-        .withColumn("tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), z_max))
+        docs.withColumn("tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), z_base))
         .groupBy("tile_id")
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
-    anc = base.select(
+    up = base.select(
         F.explode(tiles.tile_ancestors_expr(F.col("tile_id"))).alias("tile_id"),
         "doc_count",
-    )
-    counts = anc.groupBy("tile_id").agg(F.sum("doc_count").alias("doc_count"))
+    ).groupBy("tile_id").agg(F.sum("doc_count").alias("doc_count"))
+
+    if z_max > z_base:
+        splittable = base if max_docs is None else base.where(
+            F.col("doc_count") > max_docs
+        )
+        split_ids = splittable.select(F.col("tile_id").alias("_split_base"))
+        deep_docs = docs.withColumn(
+            "_base", tiles.tile_id_expr(F.col("lon"), F.col("lat"), z_base)
+        ).join(
+            F.broadcast(split_ids),
+            F.col("_base") == F.col("_split_base"),
+            "inner",
+        )
+        deep = (
+            deep_docs.withColumn(
+                "_deep", tiles.tile_id_expr(F.col("lon"), F.col("lat"), z_max)
+            )
+            .select(
+                F.explode(
+                    F.filter(
+                        tiles.tile_ancestors_expr(F.col("_deep")),
+                        lambda a: F.shiftrightunsigned(a, 58) > z_base,
+                    )
+                ).alias("tile_id")
+            )
+            .groupBy("tile_id")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+        )
+        counts = up.unionByName(deep)
+    else:
+        counts = up
     z, _, _ = tiles.tile_unpack_exprs(F.col("tile_id"))
     return counts.withColumn("zoom", z)
 
@@ -65,7 +110,7 @@ def build_tile_tree(
     The golden tile-tree artifact (BASELINE.json: "golden tile-tree match rate
     100%"). Deterministic: pure function of the doc coordinates.
     """
-    counts = tile_counts_all_zooms(doc_points, z_max).cache()
+    counts = tile_counts_all_zooms(doc_points, z_max, z_base, max_docs).cache()
     merge_thresh = max_docs / 4.0
 
     parent = tiles.tile_parent_expr(F.col("tile_id"))
