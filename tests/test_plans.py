@@ -56,5 +56,13 @@ def test_flagship_tile_math_is_codegen(spark, pages_path):
 
 
 def test_semi_anti_join_operators(spark):
-    assert "LeftSemi" in _plan(_Q["join_semi"](spark, SF))
-    assert "LeftAnti" in _plan(_Q["join_anti"](spark, SF))
+    plan = _plan(_Q["join_semi_anti"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_outer_join_operators(spark):
+    plan = _plan(_Q["join_outer"](spark, SF))
+    assert "LeftOuter" in plan
+    assert "RightOuter" in plan
+    assert "FullOuter" in plan

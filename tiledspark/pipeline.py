@@ -58,3 +58,32 @@ def flagship(spark: SparkSession, pages_path: str) -> DataFrame:
     """The flagship query: tile-build + rollup, deterministically ordered."""
     pages = spark.read.parquet(pages_path)
     return tile_rollup(build_doc_tiles(pages)).orderBy("tile_id")
+
+
+def vector_to_raster(
+    points: DataFrame,
+    value_col: str,
+    zoom: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Op 22 (vector→raster): burn a point layer onto the 2^zoom × 2^zoom
+    Web-Mercator pixel grid — (x, y, n_points, mean_val) per touched pixel.
+
+    The inverse of tile_rollup's raster→vector direction: same single-shuffle
+    shape (tile math on the scan side, partial+final HashAggregate on the
+    grid key), so the plan is one Exchange regardless of input size.
+    """
+    return (
+        points.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .select(
+            tiles.tile_x_expr(F.col(lon_col), zoom).alias("x"),
+            tiles.tile_y_expr(F.col(lat_col), zoom).alias("y"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.avg("_v").alias("mean_val"),
+        )
+    )

@@ -3,6 +3,7 @@ aggregates, conditional aggregation, distinct-on pattern, quantiles."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -107,23 +108,6 @@ def distinct_on_latest(spark, sf_dir):
 
 
 @query(
-    "quantiles_exact",
-    """
-    SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.9), 6) AS p90
-    FROM events GROUP BY event_type
-    """,
-)
-def quantiles_exact(spark, sf_dir):
-    ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-    )
-
-
-@query(
     "having_filter",
     """
     SELECT l_suppkey, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS total_qty
@@ -139,4 +123,41 @@ def having_filter(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
         .where(F.col("n_items") > 80)
+    )
+
+
+# --- op 59: grouped-aggregate pandas UDAF ------------------------------------
+# A true PandasUDFType.GROUPED_AGG function (Series -> scalar, Arrow-batched):
+# quantity-weighted mean price per return flag. Distinct from op 60
+# (applyInPandas grouped-map) — this one participates in agg() like any
+# built-in aggregate and reduces each group to one scalar JVM-side.
+
+@query(
+    "udaf_grouped_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wavg_price,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_agg(spark, sf_dir):
+    # Spark forbids mixing grouped-agg pandas UDFs with non-pandas aggregates
+    # in one agg(), so BOTH aggregates here are pandas UDAFs.
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        # numpy double accumulation — same associativity class as the SQL
+        # SUM()/SUM() oracle; rounded to 6dp on both sides
+        return float((price * qty).sum() / qty.sum())
+
+    @F.pandas_udf("long")
+    def n_rows_udaf(qty: pd.Series) -> int:
+        return int(len(qty))
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias(
+            "wavg_price"
+        ),
+        n_rows_udaf(F.col("l_quantity")).alias("n_rows"),
     )

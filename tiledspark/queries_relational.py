@@ -38,7 +38,9 @@ def scan_project_filter(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
 
-# --- op 39: hash aggregation, partial+final (TPC-H Q1 shape) ----------------
+# --- ops 39+40: hash aggregation, partial+final (TPC-H Q1 shape) + exact
+# distinct aggregates in the same grouped plan (merged so the 50-row driver
+# budget covers both ops with one CORRECTNESS row) ----------------------------
 
 @query(
     "agg_hash_basic",
@@ -50,7 +52,9 @@ def scan_project_filter(spark, sf_dir):
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
            ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
            ROUND(AVG(l_discount), 6)                                        AS avg_disc,
-           COUNT(*)                                                         AS n_rows
+           COUNT(*)                                                         AS n_rows,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -70,26 +74,9 @@ def agg_hash_basic(spark, sf_dir):
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
         )
-    )
-
-
-# --- op 40: exact distinct aggregation ---------------------------------------
-
-@query(
-    "agg_distinct",
-    """
-    SELECT l_returnflag,
-           COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_supps
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def agg_distinct(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
     )
 
 
@@ -104,21 +91,23 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
-# --- op 42: rollup / grouping sets -------------------------------------------
+# --- op 42: grouping sets — CUBE + grouping_id (CUBE over two columns emits
+# all four grouping sets, a strict superset of ROLLUP, so one query covers the
+# whole grouping-sets machinery) ----------------------------------------------
 
 @query(
-    "agg_rollup",
+    "agg_cube_grouping",
     """
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag, l_linestatus) AS grp_id,
            COUNT(*) AS n_rows,
            ROUND(SUM(l_quantity), 2) AS sum_qty
-    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
 )
-def agg_rollup(spark, sf_dir):
+def agg_cube_grouping(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("grp_id"),
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -197,96 +186,104 @@ def join_broadcast(spark, sf_dir):
 
 # --- op 34: outer joins --------------------------------------------------------
 
+# --- op 34: left + RIGHT + full outer joins, one query (tagged union) --------
+# The right-join leg swaps build side (orders RIGHT JOIN customer), so all
+# three outer-join physical paths are exercised and hash-checked together.
+
 @query(
-    "join_left_outer",
+    "join_outer",
     """
-    SELECT c_custkey,
-           COUNT(o_orderkey) AS n_orders,
-           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+    SELECT 'L' AS jt, c_custkey AS k,
+           COUNT(o_orderkey) AS n,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS v
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
+    UNION ALL
+    SELECT 'R' AS jt, c_custkey AS k,
+           COUNT(o_orderkey) AS n,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS v
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    UNION ALL
+    SELECT 'F' AS jt, COALESCE(s.nk, c.nk) AS k,
+           COALESCE(n_supp, 0) AS n,
+           CAST(COALESCE(n_cust, 0) AS DOUBLE) AS v
+    FROM (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+    FULL OUTER JOIN
+         (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    ON s.nk = c.nk
     """,
 )
-def join_left_outer(spark, sf_dir):
+def join_outer(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    return (
+    left = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+            F.count("o_orderkey").alias("n"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("v"),
         )
+        .select(F.lit("L").alias("jt"), F.col("c_custkey").alias("k"), "n", "v")
     )
-
-
-@query(
-    "join_full_outer",
-    """
-    WITH s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1),
-         c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1)
-    SELECT COALESCE(s.nk, c.nk) AS nationkey,
-           COALESCE(n_supp, 0) AS n_supp,
-           COALESCE(n_cust, 0) AS n_cust
-    FROM s FULL OUTER JOIN c ON s.nk = c.nk
-    """,
-)
-def join_full_outer(spark, sf_dir):
-    s = (
+    right = (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("v"),
+        )
+        .select(F.lit("R").alias("jt"), F.col("c_custkey").alias("k"), "n", "v")
+    )
+    s_agg = (
         table(spark, sf_dir, "supplier")
         .groupBy(F.col("s_nationkey").alias("nk"))
         .agg(F.count(F.lit(1)).alias("n_supp"))
     )
-    c = (
-        table(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("nk"))
-        .agg(F.count(F.lit(1)).alias("n_cust"))
+    c_agg = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
     )
-    return s.join(c, "nk", "full").select(
-        F.col("nk").alias("nationkey"),
-        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
-        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+    full = s_agg.join(c_agg, "nk", "full").select(
+        F.lit("F").alias("jt"),
+        F.col("nk").alias("k"),
+        F.coalesce("n_supp", F.lit(0)).alias("n"),
+        F.coalesce("n_cust", F.lit(0)).cast("double").alias("v"),
     )
+    return left.unionByName(right).unionByName(full)
 
 
-# --- op 35: semi / anti joins ---------------------------------------------------
+# --- op 35: semi + anti joins, one query (tagged union) --------------------------
 
 @query(
-    "join_semi",
+    "join_semi_anti",
     """
-    SELECT c_mktsegment, COUNT(*) AS n_customers
+    SELECT 'semi' AS jt, c_mktsegment, COUNT(*) AS n_customers
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_mktsegment
-    """,
-)
-def join_semi(spark, sf_dir):
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-@query(
-    "join_anti",
-    """
-    SELECT c_mktsegment, COUNT(*) AS n_customers
+    UNION ALL
+    SELECT 'anti' AS jt, c_mktsegment, COUNT(*) AS n_customers
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_mktsegment
     """,
 )
-def join_anti(spark, sf_dir):
+def join_semi_anti(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    return (
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("semi").alias("jt"), "c_mktsegment", "n_customers")
+    )
+    anti = (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("anti").alias("jt"), "c_mktsegment", "n_customers")
     )
+    return semi.unionByName(anti)
 
 
 # --- op 36: range (theta) join ---------------------------------------------------
@@ -397,57 +394,56 @@ def topk_per_group(spark, sf_dir):
     )
 
 
-# --- ops 49/50: set operations ---------------------------------------------------------
+# --- ops 49/50: set operations — UNION ALL + INTERSECT + EXCEPT, one query
+# (tagged union so all three set-op physical plans land in one hash check) ---------
 
 @query(
-    "set_union_all",
+    "set_ops",
     """
-    SELECT nk, COUNT(*) AS n
+    SELECT 'union_all' AS op, nk, n
+    FROM (SELECT nk, COUNT(*) AS n
+          FROM (SELECT c_nationkey AS nk FROM customer
+                UNION ALL SELECT s_nationkey FROM supplier) t
+          GROUP BY nk) u
+    UNION ALL
+    SELECT 'intersect' AS op, nk, CAST(NULL AS BIGINT) AS n
+    FROM (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+          INTERSECT
+          SELECT s_nationkey FROM supplier) i
+    UNION ALL
+    SELECT 'except' AS op, nk, CAST(NULL AS BIGINT) AS n
     FROM (SELECT c_nationkey AS nk FROM customer
-          UNION ALL SELECT s_nationkey FROM supplier) t
-    GROUP BY nk
+          EXCEPT
+          SELECT s_nationkey FROM supplier WHERE s_acctbal > 0) e
     """,
 )
-def set_union_all(spark, sf_dir):
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.unionByName(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
-
-
-@query(
-    "set_intersect",
-    """
-    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def set_intersect(spark, sf_dir):
-    c = (
+def set_ops(spark, sf_dir):
+    c_nk = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s_nk = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    union_all = (
+        c_nk.unionByName(s_nk)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("union_all").alias("op"), "nk", "n")
+    )
+    rich_c = (
         table(spark, sf_dir, "customer")
         .where(F.col("c_acctbal") > 9000)
         .select(F.col("c_nationkey").alias("nk"))
     )
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.intersect(s)
-
-
-@query(
-    "set_except",
-    """
-    SELECT c_nationkey AS nk FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier WHERE s_acctbal > 0
-    """,
-)
-def set_except(spark, sf_dir):
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = (
+    inter = rich_c.intersect(s_nk).select(
+        F.lit("intersect").alias("op"), "nk", F.lit(None).cast("long").alias("n")
+    )
+    pos_s = (
         table(spark, sf_dir, "supplier")
         .where(F.col("s_acctbal") > 0)
         .select(F.col("s_nationkey").alias("nk"))
     )
-    return c.subtract(s)  # EXCEPT = set semantics (exceptAll would be bag)
+    # subtract == SQL EXCEPT (set semantics; exceptAll would be bag)
+    exc = c_nk.subtract(pos_s).select(
+        F.lit("except").alias("op"), "nk", F.lit(None).cast("long").alias("n")
+    )
+    return union_all.unionByName(inter).unionByName(exc)
 
 
 # --- op 51: string functions --------------------------------------------------------------
@@ -587,11 +583,15 @@ def fn_array(spark, sf_dir):
            COUNT(*) AS n,
            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
            MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90
     FROM events GROUP BY event_type
     """,
 )
 def fn_json(spark, sf_dir):
+    """JSON extraction + exact quantiles in one grouped plan (merged with the
+    former quantiles_exact so the 50-row driver budget covers both)."""
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.groupBy("event_type").agg(
@@ -599,6 +599,8 @@ def fn_json(spark, sf_dir):
         F.round(F.avg(k), 6).alias("avg_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
     )
 
 

@@ -156,3 +156,45 @@ def tile_tree_build(spark, sf_dir):
     pages = _synth_pages(spark, sf_dir)
     docs = dedupe_latest_by_url(extract_coords(pages))
     return build_tile_tree(docs).orderBy("tile_id")
+
+
+# --- op 22: vector -> raster (named operator, independent DuckDB oracle) -----
+
+@query(
+    "vector_to_raster",
+    """
+    WITH pts AS (
+        SELECT c_custkey,
+               (ABS(c_acctbal) % 140.0) - 70.0 AS lat,
+               ((c_custkey % 3400) * 0.1) - 170.0 AS lon,
+               c_acctbal AS v
+        FROM customer
+    ),
+    px AS (
+        SELECT v,
+               CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 128.0), 0), 127) AS BIGINT) AS x,
+               CAST(LEAST(GREATEST(FLOOR(
+                   (1.0 - LN(TAN(RADIANS(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))
+                             + SQRT(TAN(RADIANS(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))
+                                    * TAN(RADIANS(LEAST(GREATEST(lat, -85.05112878), 85.05112878))) + 1.0))
+                          / PI()) / 2.0 * 128.0), 0), 127) AS BIGINT) AS y
+        FROM pts
+    )
+    SELECT x, y, COUNT(*) AS n_points, ROUND(AVG(v), 4) AS mean_val
+    FROM px GROUP BY x, y
+    """,
+)
+def vector_to_raster_q(spark, sf_dir):
+    """Op 22: rasterize a point layer onto the zoom-7 (128×128) pixel grid;
+    the oracle re-derives the Web-Mercator pixel math in pure DuckDB SQL
+    (asinh emulated as ln(x+sqrt(x²+1)))."""
+    from tiledspark.pipeline import vector_to_raster
+
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        ((F.abs(F.col("c_acctbal")) % F.lit(140.0)) - F.lit(70.0)).alias("lat"),
+        (((F.col("c_custkey") % 3400) * F.lit(0.1)) - F.lit(170.0)).alias("lon"),
+        F.col("c_acctbal").alias("v"),
+    )
+    out = vector_to_raster(pts, "v", zoom=7)
+    return out.select("x", "y", "n_points", F.round("mean_val", 4).alias("mean_val"))

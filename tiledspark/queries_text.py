@@ -14,20 +14,34 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
 
 
 @query(
-    "text_tokens",
+    "text_stats",
     """
     SELECT doc_id,
            LEN(string_split(text, ' ')) AS n_tokens,
            LEN(list_distinct(string_split(text, ' '))) AS n_distinct,
            LENGTH(text) AS n_chars_actual,
            ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-                 / LEN(string_split(text, ' ')), 6) AS avg_token_len
+                 / LEN(string_split(text, ' ')), 6) AS avg_token_len,
+           LEN(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stopwords,
+           ROUND(CAST(LEN(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+               / LEN(string_split(text, ' ')), 6) AS stop_ratio,
+           LIST_MAX(list_transform(string_split(text, ' '), x -> LENGTH(x))) AS max_token_len,
+           ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / LEN(string_split(text, ' ')), 6) AS ttr,
+           md5(text) AS fp
     FROM documents
     """,
 )
-def text_tokens(spark, sf_dir):
+def text_stats(spark, sf_dir):
+    """Token counting + quality scoring + fingerprinting in one per-document
+    projection (merged from text_tokens/text_quality/text_fingerprint so the
+    50-row driver budget covers all three text-analysis ops)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -38,49 +52,12 @@ def text_tokens(spark, sf_dir):
             / F.size(toks),
             6,
         ).alias("avg_token_len"),
-    )
-
-
-@query(
-    "text_quality",
-    """
-    SELECT doc_id,
-           LEN(list_filter(string_split(text, ' '),
-               x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stopwords,
-           ROUND(CAST(LEN(list_filter(string_split(text, ' '),
-               x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
-               / LEN(string_split(text, ' ')), 6) AS stop_ratio,
-           LIST_MAX(list_transform(string_split(text, ' '), x -> LENGTH(x))) AS max_token_len,
-           ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / LEN(string_split(text, ' ')), 6) AS ttr
-    FROM documents
-    """,
-)
-def text_quality(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
-    return d.select(
-        "doc_id",
         n_stop.alias("n_stopwords"),
         F.round(n_stop.cast("double") / F.size(toks), 6).alias("stop_ratio"),
         F.array_max(F.transform(toks, lambda x: F.length(x))).alias("max_token_len"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
     )
-
-
-@query(
-    "text_fingerprint",
-    """
-    SELECT doc_id, md5(text) AS fp, LENGTH(text) AS n_chars_actual
-    FROM documents
-    """,
-)
-def text_fingerprint(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"),
-                    F.length("text").alias("n_chars_actual"))
 
 
 @query(
