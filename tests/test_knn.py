@@ -66,3 +66,37 @@ def test_haversine_known_distance(spark):
         haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
     ).collect()[0]["m"]
     assert abs(m - 343_500) < 2_000
+
+
+def test_knn_rounds_do_not_accumulate_lineage(spark):
+    """Round-1 fix: every round's frontier is a materialized localCheckpoint,
+    so round t's plan is a flat scan — it must NOT contain the prior rounds'
+    left_anti joins (quadratic-lineage guard)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tiledspark.knn import knn_cell_ring
+
+    rng = np.random.default_rng(7)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"u{i}" for i in range(300)],
+                "lat": rng.uniform(-60, 60, 300),
+                "lon": rng.uniform(-170, 170, 300),
+            }
+        )
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": range(10), "lat": rng.uniform(-60, 60, 10), "lon": rng.uniform(-170, 170, 10)}
+        )
+    )
+    plans: list[str] = []
+    out = knn_cell_ring(spark, docs, queries, k=3, zoom=6, _round_plans=plans)
+    assert out.count() > 0
+    assert len(plans) >= 2, "expected multiple expansion rounds"
+    for p in plans:
+        assert "Join" not in p, f"frontier plan still contains joins:\n{p[:800]}"
+        assert "Scan ExistingRDD" in p or "LogicalRDD" in p or "Checkpoint" in p

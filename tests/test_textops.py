@@ -85,3 +85,61 @@ def test_lang_id_heuristic(spark):
     out = df.withColumn("pred", lang_id_expr(F.col("text"))).collect()
     for r in out:
         assert r["pred"] == r["expected"], (r["text"], r["pred"])
+
+
+def test_simhash_blocking_guarantee_at_high_hamming(spark):
+    """Round-1 fix: pairs at hamming 8-12 MUST be surfaced when max_hamming
+    covers them (the old 4x16-bit scheme silently lost hamming >= 4 pairs
+    whose differing bits spanned all four chunks)."""
+    from tiledspark.textops import simhash_pairs_from_hashes
+
+    base = 0x5A5A_1234_ABCD_0F0F
+    rows = [(0, base)]
+    # ids 1..5: hamming 8..12 from base, bits SPREAD so every 16-bit quarter
+    # differs (the adversarial case for the old scheme)
+    for i, h in enumerate(range(8, 13), start=1):
+        v = base
+        for b in range(h):
+            v ^= 1 << ((b * 64) // h + 1)  # spread across the word
+        rows.append((i, v))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["_id", "simhash"]))
+    got = simhash_pairs_from_hashes(df, max_hamming=12).toPandas()
+    found = {(int(a), int(b)): int(hm) for a, b, hm in
+             zip(got["id_a"], got["id_b"], got["hamming"])}
+    for i, h in enumerate(range(8, 13), start=1):
+        assert (0, i) in found, f"pair at hamming {h} missed: {found}"
+        assert found[(0, i)] == h
+    # and nothing beyond the threshold sneaks in
+    tight = simhash_pairs_from_hashes(df, max_hamming=7).toPandas()
+    assert not any(
+        (a == 0) for a in tight["id_a"]
+    ), "hamming 8-12 pairs must vanish at max_hamming=7"
+
+
+def test_lsh_band_shuffle_carries_ids_only(spark):
+    """Round-1 fix: the banded exchange payload is exactly
+    (_id, band_idx, band_hash) — no signatures, no shingles."""
+    from tiledspark.textops import _banded_ids
+
+    df = _corpus(spark)
+    banded = _banded_ids(df, "doc_id", "text", 3, 16, 4)
+    assert banded.columns == ["_id", "band_idx", "band_hash"]
+    # and the pair plan never shuffles a shingle array: every Exchange in the
+    # executed plan partitions on id/band columns only
+    pairs = lsh_candidate_pairs(df, "doc_id", est_threshold=0.4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            head = line.split("Exchange hashpartitioning", 1)[1][:120]
+            assert "_shingles" not in head and "sh_a" not in head and "sh_b" not in head, line
+
+
+def test_lsh_capped_buckets_report(spark):
+    from tiledspark.textops import lsh_capped_buckets
+
+    texts = ["same words here every time"] * 30 + ["unique doc number %d" % i for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    capped = lsh_capped_buckets(df, "doc_id", bucket_cap=10).toPandas()
+    assert len(capped) >= 1 and (capped["size"] >= 30).all()
+    none_capped = lsh_capped_buckets(df, "doc_id", bucket_cap=1000).toPandas()
+    assert len(none_capped) == 0

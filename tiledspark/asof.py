@@ -34,33 +34,32 @@ def asof_join(
     prefix: str = "asof_",
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
-    right_ts <= left_ts within the same `on` key (nulls when none)."""
+    right_ts <= left_ts within the same `on` key (nulls when none).
+
+    Right values ride in ONE struct per right row (round-1 fix): the struct
+    is non-null for every right row even when individual fields are null, so
+    F.last(ignorenulls=True) carries the whole matched row — legitimately-
+    null right fields stay null, and fields are never mixed across different
+    right rows (per-column last() would skip a null field and attach an
+    older row's value for just that column)."""
+    from pyspark.sql import types as T
+
     lcols = [c for c in left.columns]
-    l = (
-        left.withColumn("_ts", F.col(left_ts))
-        .withColumn("_is_l", F.lit(1))
+    rv_type = T.StructType([right.schema[c] for c in right_vals])
+    l_aligned = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_l"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
-    r = right.select(
+    r_aligned = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_l"),
-        *[F.col(c) for c in right_vals],
+        F.struct(*[F.col(c) for c in right_vals]).alias("_rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
     )
-    # align schemas: left gets null right_vals; right gets null left cols
-    for c in right_vals:
-        l = l.withColumn(f"_rv_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r = r.select(
-        on,
-        "_ts",
-        "_is_l",
-        *[F.col(c).alias(f"_rv_{c}") for c in right_vals],
-    )
-    l_aligned = l.select(on, "_ts", "_is_l", *[f"_rv_{c}" for c in right_vals], *[
-        F.col(c).alias(f"_l_{c}") for c in lcols
-    ])
-    r_aligned = r
-    for c in lcols:
-        r_aligned = r_aligned.withColumn(f"_l_{c}", F.lit(None).cast(left.schema[c].dataType))
     u = l_aligned.unionByName(r_aligned)
 
     w = (
@@ -68,10 +67,9 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_is_l").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_vals:
-        u = u.withColumn(f"{prefix}{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("_carried", F.last("_rv", ignorenulls=True).over(w))
     out = u.where(F.col("_is_l") == 1)
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"{prefix}{c}") for c in right_vals],
+        *[F.col("_carried").getField(c).alias(f"{prefix}{c}") for c in right_vals],
     )

@@ -120,9 +120,18 @@ def spatial_join(
     broadcast_zone_cells_max: int = 2_000_000,
     hot_cell_threshold: int = 100_000,
     salt_k: int = 16,
+    broadcast_zone_geo_max: int = 50_000,
 ) -> DataFrame:
     """-> (zone_id, <doc_key>, lat, lon, tile_id) — one row per (zone, doc)
-    containment pair; tile_id is the doc's base-zoom assignment."""
+    containment pair; tile_id is the doc's base-zoom assignment.
+
+    PIP refinement geometry (round-1 fix): the driver-side collect+broadcast
+    of polygon vertex arrays is now GATED on a measured zone count
+    (broadcast_zone_geo_max). Above it, refinement switches to a cogrouped
+    applyInPandas — boundary candidates and zone geometry shuffle on
+    (zone_id, salt16), geometry replicated 16× per zone (O(perimeter), tiny
+    next to candidates), so an arbitrarily large zone table never touches
+    the driver."""
     zc = build_zone_cells(zones, z_join, z_min).cache()
     n_zone_cells = zc.count()  # measured, drives the explicit plan choice
     dc = doc_cells_for_join(docs, z_join, z_min).select(
@@ -159,24 +168,55 @@ def spatial_join(
     interior = cand.where(~F.col("is_boundary")).select(doc_key, "lat", "lon", "zone_id")
 
     boundary = cand.where(F.col("is_boundary")).select(doc_key, "lat", "lon", "zone_id")
-    geo_bc = _zones_broadcast(spark, zones)
+    boundary = boundary.withColumn("_g", F.pmod(F.xxhash64(doc_key), F.lit(16)))
+    out_schema = f"{doc_key} string, lat double, lon double, zone_id long, _g int"
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pdf
-        zid = int(pdf["zone_id"].iloc[0])
-        ring, holes = geo_bc.value[zid]
-        ok = np_points_in_polygon(
-            pdf["lat"].to_numpy(np.float64), pdf["lon"].to_numpy(np.float64), ring, holes
+    n_zones = zones.count()  # measured, gates the driver round-trip
+    if n_zones <= broadcast_zone_geo_max:
+        geo_bc = _zones_broadcast(spark, zones)
+
+        def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pdf
+            zid = int(pdf["zone_id"].iloc[0])
+            ring, holes = geo_bc.value[zid]
+            ok = np_points_in_polygon(
+                pdf["lat"].to_numpy(np.float64), pdf["lon"].to_numpy(np.float64), ring, holes
+            )
+            return pdf.loc[ok]
+
+        refined = (
+            boundary.groupBy("zone_id", "_g")
+            .applyInPandas(refine, schema=out_schema)
+            .drop("_g")
         )
-        return pdf.loc[ok]
+    else:
+        # cluster-side refinement: cogroup candidates with geometry on
+        # (zone_id, salt) — geometry rows replicate 16×/zone, candidates
+        # shuffle once; no driver materialization of any polygon
+        zgeo = zones.select("zone_id", "ring", "holes").withColumn(
+            "_g", F.explode(F.sequence(F.lit(0), F.lit(15)))
+        )
 
-    refined = (
-        boundary.withColumn("_g", F.pmod(F.xxhash64(doc_key), F.lit(16)))
-        .groupBy("zone_id", "_g")
-        .applyInPandas(refine, schema=f"{doc_key} string, lat double, lon double, zone_id long, _g int")
-        .drop("_g")
-    )
+        def refine_cg(cand_pdf: pd.DataFrame, geo_pdf: pd.DataFrame) -> pd.DataFrame:
+            if cand_pdf.empty or geo_pdf.empty:
+                return cand_pdf.iloc[0:0]
+            ring = _ring_to_np(geo_pdf["ring"].iloc[0])
+            holes = [_ring_to_np(h) for h in _holes_list(geo_pdf["holes"].iloc[0])]
+            ok = np_points_in_polygon(
+                cand_pdf["lat"].to_numpy(np.float64),
+                cand_pdf["lon"].to_numpy(np.float64),
+                ring,
+                holes,
+            )
+            return cand_pdf.loc[ok]
+
+        refined = (
+            boundary.groupBy("zone_id", "_g")
+            .cogroup(zgeo.groupBy("zone_id", "_g"))
+            .applyInPandas(refine_cg, schema=out_schema)
+            .drop("_g")
+        )
     # grouped output schema must include grouping cols; realign column order
     refined = refined.select(doc_key, "lat", "lon", "zone_id")
 

@@ -58,9 +58,17 @@ def knn_cell_ring(
     zoom: int = 8,
     doc_key: str = "url",
     max_radius: int = 64,
+    _round_plans: list | None = None,
 ) -> DataFrame:
     """docs(lat, lon, <doc_key>), queries(query_id, lat, lon) ->
-    (query_id, rank, <doc_key>, dist_m). Deterministic."""
+    (query_id, rank, <doc_key>, dist_m). Deterministic.
+
+    Each round's `unresolved` frontier and resolved output are
+    localCheckpoint'ed (round-1 fix): without the cut, round t re-derives
+    every prior round's left_anti joins, turning the loop quadratic — at 10^6
+    queries that is the difference between linear and quadratic work. The
+    checkpoint materializes only the (small) query frontier, never docs.
+    _round_plans (test hook): appends each round's unresolved plan string."""
     doc_cells = (
         docs.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
         .select(
@@ -81,9 +89,15 @@ def knn_cell_ring(
     )
 
     resolved_parts: list[DataFrame] = []
-    unresolved = q0
+    # eager localCheckpoint: cuts lineage AND materializes, so take(1) and
+    # the next round's joins read the materialized frontier, not the DAG
+    unresolved = q0.localCheckpoint(eager=True)
     r = 1
     while r <= max_radius and unresolved.take(1):
+        if _round_plans is not None:
+            _round_plans.append(
+                unresolved._jdf.queryExecution().executedPlan().toString()
+            )
         # block cells: x wraps around the antimeridian, y clips at the poles
         dxy = F.sequence(F.lit(-r), F.lit(r))
         cand_cells = (
@@ -150,11 +164,13 @@ def knn_cell_ring(
             (F.col("n_found") == k) & (F.col("kth_dist") <= F.col("bound"))
         ).select("query_id")
         resolved_parts.append(
-            topk.join(done_ids, "query_id", "left_semi").select(
-                "query_id", "rank", F.col("_dk").alias(doc_key), "dist_m"
-            )
+            topk.join(done_ids, "query_id", "left_semi")
+            .select("query_id", "rank", F.col("_dk").alias(doc_key), "dist_m")
+            .localCheckpoint(eager=True)
         )
-        unresolved = unresolved.join(done_ids, "query_id", "left_anti")
+        unresolved = unresolved.join(done_ids, "query_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         r *= 2
 
     # stragglers: brute force (queries side is tiny by now)

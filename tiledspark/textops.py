@@ -12,11 +12,15 @@ queries() entry via queries_text/queries_dedup):
   UDF (the only Python step, and it is O(tokens) elementwise)
 - lang_id: stopword-profile n-gram heuristic, pure Column math
 
-Scale shape: LSH is the only shuffle that matters — it carries
-(band_hash, doc_id, signature) tuples, never documents. Bucket pair
-expansion is guarded by a per-bucket cap (huge buckets = degenerate content,
-e.g. empty pages; they are reported, not exploded — "no silent caps"
-principle: capped buckets are emitted with is_capped=true).
+Scale shape: the band shuffle carries ONLY (band_idx, band_hash, doc_id)
+triples — signatures and shingles are re-derived and joined back for the
+surviving candidate pairs alone, so no document-sized payload ever enters a
+wide exchange (the shingle/minhash projection is recomputed map-side, which
+at 100 TB trades two extra column-pruned scans for a shuffle that is ~50×
+narrower). Bucket pair expansion is guarded by a per-bucket cap (huge
+buckets = degenerate content, e.g. empty pages); the cap is NOT silent —
+`lsh_capped_buckets` reports every truncated (band_idx, band_hash, size)
+bucket, per the no-silent-caps principle.
 """
 
 from __future__ import annotations
@@ -61,26 +65,23 @@ def with_minhash(
     )
 
 
-def lsh_candidate_pairs(
+def _banded_ids(
     df: DataFrame,
     id_col: str,
-    text_col: str = "text",
-    k: int = 3,
-    num_perm: int = DEFAULT_NUM_PERM,
-    bands: int = DEFAULT_BANDS,
-    est_threshold: float = 0.5,
-    bucket_cap: int = 1000,
+    text_col: str,
+    k: int,
+    num_perm: int,
+    bands: int,
 ) -> DataFrame:
-    """-> (id_a, id_b, est_jaccard, exact_jaccard) for near-duplicate pairs
-    surfaced by banded MinHash LSH (id_a < id_b, deterministic)."""
+    """The ONLY thing the band shuffle carries: (_id, band_idx, band_hash).
+    Signatures/shingles are projected away before the exchange (the payload
+    fix from round 1 — see module docstring)."""
     rows_per_band = num_perm // bands
     sig = with_minhash(df, text_col, k, num_perm).select(
-        F.col(id_col).alias("_id"), "minhash", "_shingles"
+        F.col(id_col).alias("_id"), "minhash"
     )
-    banded = sig.select(
+    return sig.select(
         "_id",
-        "minhash",
-        "_shingles",
         F.explode(
             F.array(
                 *[
@@ -100,27 +101,86 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("_id", "minhash", "_shingles", "band.band_idx", "band.band_hash")
+    ).select("_id", "band.band_idx", "band.band_hash")
 
-    # cap pathological buckets (degenerate/boilerplate content) — report, don't explode
+
+def lsh_capped_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """No-silent-caps report: every (band_idx, band_hash, size) bucket whose
+    size exceeds bucket_cap (these buckets are truncated to bucket_cap rows
+    by lsh_candidate_pairs; at web scale they are degenerate boilerplate)."""
+    banded = _banded_ids(df, id_col, text_col, k, num_perm, bands)
+    return (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > bucket_cap)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    est_threshold: float = 0.5,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """-> (id_a, id_b, est_jaccard, exact_jaccard) for near-duplicate pairs
+    surfaced by banded MinHash LSH (id_a < id_b, deterministic).
+
+    Oversized buckets are truncated to bucket_cap rows (deterministically, by
+    _id order); call lsh_capped_buckets for the report of what was capped."""
+    banded = _banded_ids(df, id_col, text_col, k, num_perm, bands)
+
+    # cap pathological buckets (degenerate/boilerplate content)
     w = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
     banded = banded.withColumn("_bn", F.row_number().over(w)).where(F.col("_bn") <= bucket_cap)
 
     a = banded.select(
         F.col("band_idx").alias("bi"), F.col("band_hash").alias("bh"),
-        F.col("_id").alias("id_a"), F.col("minhash").alias("mh_a"),
-        F.col("_shingles").alias("sh_a"),
+        F.col("_id").alias("id_a"),
     )
     b = banded.select(
         F.col("band_idx").alias("bi"), F.col("band_hash").alias("bh"),
-        F.col("_id").alias("id_b"), F.col("minhash").alias("mh_b"),
-        F.col("_shingles").alias("sh_b"),
+        F.col("_id").alias("id_b"),
     )
     pairs = (
         a.join(b, ["bi", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "mh_a", "mh_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # rejoin signatures + shingles for the SURVIVING candidate pairs only
+    # (recomputed map-side; never shuffled with the band exchange)
+    sig = with_minhash(df, text_col, k, num_perm).select(
+        F.col(id_col).alias("_id"), "minhash", "_shingles"
+    )
+    pairs = (
+        pairs.join(
+            sig.select(
+                F.col("_id").alias("id_a"),
+                F.col("minhash").alias("mh_a"),
+                F.col("_shingles").alias("sh_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sig.select(
+                F.col("_id").alias("id_b"),
+                F.col("minhash").alias("mh_b"),
+                F.col("_shingles").alias("sh_b"),
+            ),
+            "id_b",
+        )
     )
     est = (
         F.aggregate(
@@ -171,20 +231,42 @@ def hamming64_expr(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 8
+def _chunk_layout(n_chunks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into n_chunks contiguous (offset, width) spans, widths
+    as even as possible (difference <= 1)."""
+    base, extra = divmod(64, n_chunks)
+    spans, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < extra else 0)
+        spans.append((off, w))
+        off += w
+    return spans
+
+
+def simhash_pairs_from_hashes(
+    s: DataFrame, max_hamming: int, id_col: str = "_id", hash_col: str = "simhash"
 ) -> DataFrame:
-    """Near-dup pairs by simhash: block on 16-bit chunks (a pair within
-    hamming<=3 of 4 chunks shares at least one exact chunk — pigeonhole),
-    then verify the full hamming distance."""
-    s = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    """(id, simhash) rows -> near-dup pairs with hamming <= max_hamming.
+
+    Blocking GUARANTEE (round-1 fix): block on max_hamming+1 contiguous bit
+    chunks. Any pair at hamming <= max_hamming differs in at most max_hamming
+    chunks, so by pigeonhole it agrees EXACTLY on at least one of the
+    max_hamming+1 chunks and is always surfaced — 100% recall by
+    construction, no silent parameter mismatch (the 4-chunk scheme this
+    replaces only guaranteed hamming <= 3)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    s = s.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("simhash"))
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("ci"),
-                F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                F.shiftrightunsigned("simhash", off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("cv"),
             )
-            for i in range(4)
+            for i, (off, width) in enumerate(_chunk_layout(n_chunks))
         ]
     )
     blocked = s.select("_id", "simhash", F.explode(chunks).alias("c")).select(
@@ -200,6 +282,15 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by simhash over a text column; see
+    simhash_pairs_from_hashes for the recall-guaranteed blocking scheme."""
+    s = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    return simhash_pairs_from_hashes(s, max_hamming)
 
 
 # --- language id (stopword-profile heuristic, pure Column math) -----------------
