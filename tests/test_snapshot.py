@@ -104,3 +104,48 @@ def test_checkpointed_build_resumes(spark, pages_path, store):
     joined = z8.join(direct, "tile_id")
     assert joined.where(F.col("doc_count") != F.col("count")).count() == 0
     assert z8.count() == direct.count()
+
+
+def test_point_lookups_open_one_bucket_only(spark, tmp_path, pages_path):
+    """Ops 10-12 (round-1 gap): get_by_key / read_tile / tiles_for_key must
+    scan ONLY the matching bucket's files (the reference's Get/GetTile
+    serving shape, SURVEY.md §3.1 EP3)."""
+    from pyspark.sql import functions as F
+
+    from tiledspark import tiles
+    from tiledspark.extract import dedupe_latest_by_url, extract_coords
+    from tiledspark.snapshot import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "store"), n_buckets=16)
+    pages = spark.read.parquet(pages_path)
+    base = (
+        dedupe_latest_by_url(extract_coords(pages))
+        .where(F.col("lat").isNotNull())
+        .withColumn("tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE))
+        .select("url", "warc_ts", "text", "lang", "lat", "lon", "tile_id")
+    )
+    store.commit(base, key_col="tile_id", index_key="url")
+
+    sample = base.select("url", "tile_id").limit(1).collect()[0]
+    url, tile_id = sample["url"], sample["tile_id"]
+    expected_bucket = f"tbucket={tile_id % 16}"
+
+    # GetTile: exactly the tile's rows, read from exactly one bucket dir
+    td = store.read_tile(spark, tile_id)
+    tile_files = td.inputFiles()
+    assert tile_files and all(expected_bucket in f for f in tile_files), tile_files
+    full = store.read(spark)
+    assert td.count() == full.where(F.col("tile_id") == tile_id).count()
+
+    # Get(key): the row itself, via the key index, one bucket scanned
+    got = store.get_by_key(spark, url)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["url"] == url
+    assert all(expected_bucket in f for f in got.inputFiles()), got.inputFiles()
+
+    # tiles_for_key: index rows name the bucket
+    idx_rows = store.tiles_for_key(spark, url).collect()
+    assert {r["tbucket"] for r in idx_rows} == {tile_id % 16}
+
+    # a bucket scan is a strict subset of the snapshot's files
+    assert set(tile_files) < set(full.inputFiles())

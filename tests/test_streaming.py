@@ -125,3 +125,77 @@ def test_stream_commit_diffs_layers(spark, tmp_path, pages_path):
     # final state has no duplicate urls
     after = store.read(spark)
     assert after.groupBy("url").count().where(F.col("count") > 1).count() == 0
+
+
+def test_stateful_tile_counts_carries_state_across_batches(spark, tmp_path):
+    """Op 68 (round-1 fix: real transformWithStateInPandas, not foreachBatch):
+    per-tile ValueState must accumulate across micro-batches and the final
+    running totals must equal a batch recompute over all diffs."""
+    from tiledspark import tiles
+    from tiledspark.extract import extract_coords
+    from tiledspark.streaming import stateful_tile_counts
+
+    diff_files = synth.ensure_diff_batches(
+        str(tmp_path / "synth"), 5_000, n_batches=3, rows=100
+    )
+    diffs_dir = str(tmp_path / "diffs_in")
+    os.makedirs(diffs_dir)
+    for p in diff_files:
+        shutil.copy(p, diffs_dir)
+
+    rows = stateful_tile_counts(spark, diffs_dir, str(tmp_path / "ckpt_tws"))
+    # memory sink in Update mode appends each batch's emissions: the LAST
+    # emission per tile is the running total
+    latest: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        tid = r["tile_id"]
+        prev = latest.get(tid)
+        if prev is None or r["n_batches"] >= prev[1]:
+            latest[tid] = (r["n_docs"], r["n_batches"])
+
+    batch = (
+        extract_coords(spark.read.parquet(diffs_dir))
+        .withColumn(
+            "tile_id",
+            F.when(
+                F.col("lat").isNotNull(),
+                tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("tile_id")
+        .agg(
+            F.sum(F.when(F.col("op") == "upsert", 1).otherwise(-1)).alias("net")
+        )
+        .collect()
+    )
+    expected = {r["tile_id"]: r["net"] for r in batch}
+    got = {tid: nd for tid, (nd, _) in latest.items()}
+    assert got == expected, (
+        f"stateful totals diverge from batch recompute: "
+        f"{dict(list(got.items())[:3])} vs {dict(list(expected.items())[:3])}"
+    )
+    # state genuinely crossed batches: some tile must have n_batches >= 2
+    assert any(nb >= 2 for _, nb in latest.values()), latest
+
+
+def test_apply_diff_is_idempotent_per_tag(spark, tmp_path, pages_path):
+    """Round-1 fix: replaying a tagged diff (foreachBatch crash-replay) must
+    return the existing snapshot id, not layer a duplicate commit."""
+    from tiledspark import tiles
+    from tiledspark.extract import dedupe_latest_by_url, extract_coords
+
+    store = SnapshotStore(str(tmp_path / "store"), n_buckets=64)
+    pages = spark.read.parquet(pages_path)
+    base = (
+        dedupe_latest_by_url(extract_coords(pages))
+        .where(F.col("lat").isNotNull())
+        .withColumn("tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE))
+        .select("url", "warc_ts", "text", "lang", "lat", "lon", "tile_id")
+    )
+    store.commit(base, key_col="tile_id", index_key="url")
+
+    delta = base.limit(5).withColumn("op", F.lit("upsert"))
+    sid1 = store.apply_diff(spark, delta, row_key="url", key_col="tile_id", tag="diff_batch=0")
+    sid2 = store.apply_diff(spark, delta, row_key="url", key_col="tile_id", tag="diff_batch=0")
+    assert sid1 == sid2
+    assert store.snapshots() == [1, 2], "replay must not create a third layer"

@@ -206,6 +206,57 @@ class SnapshotStore:
                 return sid
         return None
 
+    # --- point lookups (ops 10-12: the reference's Get / GetTile serving
+    # surface, SURVEY.md §3.1 EP3) — each opens ONLY the matching bucket's
+    # files, never the full snapshot ---------------------------------------------
+
+    def _bucket_paths(self, m: dict[str, Any], buckets: set[int]) -> list[str]:
+        parts = {f"tbucket={b}" for b in buckets}
+        return [
+            os.path.join(self.root, f["path"])
+            for f in m["files"]
+            if f["partition"] in parts
+        ]
+
+    def read_tile(
+        self, spark: SparkSession, tile_id: int, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """GetTile: all rows of one tile. Bucket = tile_id % n_buckets is
+        computable without any index, so exactly one tbucket's files are
+        opened (assert via df.inputFiles())."""
+        m = self.manifest(snapshot_id)
+        paths = self._bucket_paths(m, {int(tile_id) % self.n_buckets})
+        key_col = m["key_col"]
+        if not paths:
+            return self.read(spark, snapshot_id).where(F.lit(False))
+        return spark.read.parquet(*paths).where(F.col(key_col) == tile_id)
+
+    def tiles_for_key(
+        self, spark: SparkSession, key_value, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """tiles_for_object: the key index rows for one row key — which
+        bucket(s) hold the object (the reference's id→tiles lookup)."""
+        m = self.manifest(snapshot_id)
+        if not m.get("index_path"):
+            raise ValueError(
+                "snapshot was committed without index_key; point lookups need it"
+            )
+        idx = spark.read.parquet(os.path.join(self.root, m["index_path"]))
+        return idx.where(F.col(m["index_key"]) == key_value)
+
+    def get_by_key(
+        self, spark: SparkSession, key_value, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Get(type, id): one object by row key. Consults the key index for
+        the bucket(s), then scans only those buckets' files."""
+        m = self.manifest(snapshot_id)
+        hits = self.tiles_for_key(spark, key_value, snapshot_id).collect()
+        buckets = {int(r["tbucket"]) for r in hits}
+        if not buckets:
+            return self.read(spark, snapshot_id).where(F.lit(False))
+        paths = self._bucket_paths(m, buckets)
+        return spark.read.parquet(*paths).where(F.col(m["index_key"]) == key_value)
+
     # --- copy-on-write diff (op 8) ---------------------------------------------------
 
     def apply_diff(
@@ -215,10 +266,21 @@ class SnapshotStore:
         row_key: str,
         key_col: str = "tile_id",
         op_col: str = "op",
+        tag: str | None = None,
     ) -> int:
         """delta: rows with op in {upsert, delete}. Rewrites ONLY the buckets
         containing affected row keys; every other partition is carried by
-        reference (the reference's minutely-diff semantics)."""
+        reference (the reference's minutely-diff semantics).
+
+        tag: idempotence token (round-1 fix) — if a snapshot with this tag
+        already exists, the diff was already applied (e.g. a foreachBatch
+        replay after a crash between commit and checkpoint write) and the
+        existing snapshot id is returned without creating a duplicate layer.
+        """
+        if tag is not None:
+            existing = self.find_tag(tag)
+            if existing is not None:
+                return existing
         base_m = self.manifest()
         delta = delta.withColumn(
             "tbucket", F.pmod(F.col(key_col), F.lit(self.n_buckets)).cast("int")
@@ -227,12 +289,22 @@ class SnapshotStore:
         # moved/deleted rows: their OLD bucket comes from the key index (the
         # analogue of tiled-db's id→tiles lookup), not from the delta itself
         old_buckets: set[int] = set()
+        index_missing_full_rewrite = False
         if base_m.get("index_path"):
             idx = spark.read.parquet(os.path.join(self.root, base_m["index_path"]))
             old = idx.join(
                 F.broadcast(delta.select(F.col(row_key)).distinct()), row_key, "left_semi"
             )
             old_buckets = {r["tbucket"] for r in old.select("tbucket").distinct().collect()}
+        elif base_m["files"]:
+            # Round-1 fix: without a key index we cannot locate the OLD bucket
+            # of a moved/deleted row, and silently skipping the lookup would
+            # leave stale duplicates behind. Correctness first: treat every
+            # base partition as affected (full merge rewrite) and record it.
+            index_missing_full_rewrite = True
+            old_buckets = {
+                int(f["partition"].split("=", 1)[1]) for f in base_m["files"]
+            }
         affected_parts = {f"tbucket={b}" for b in new_buckets | old_buckets}
 
         carried = [f for f in base_m["files"] if f["partition"] not in affected_parts]
@@ -260,10 +332,12 @@ class SnapshotStore:
             parent=base_m["snapshot_id"],
             carried_files=carried,
             index_key=base_m.get("index_key"),
+            tag=tag,
             extra_meta={
                 "diff": {
                     "affected_partitions": sorted(affected_parts),
                     "n_carried_files": len(carried),
+                    "index_missing_full_rewrite": index_missing_full_rewrite,
                 }
             },
         )
