@@ -19,6 +19,21 @@ import sys
 import tempfile
 import time
 
+
+def _cpu_busy_sec() -> float:
+    """System-wide busy CPU seconds (user+nice+system) from /proc/stat.
+    Nothing else runs on this host, so the delta across the bench IS the
+    bench's aggregate CPU time — used to separate 'cores were idle' (engine
+    problem) from 'cores were busy but slower' (shared memory bandwidth,
+    environmental) in the scaling evidence."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        hz = os.sysconf("SC_CLK_TCK")
+        return (int(parts[1]) + int(parts[2]) + int(parts[3])) / hz
+    except (OSError, ValueError, IndexError):
+        return float("nan")
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
@@ -31,7 +46,7 @@ from tiledspark.session import get_spark  # noqa: E402
 BENCH_CACHE = os.path.join(_REPO, ".bench_cache")
 
 
-def _warmup(spark, pages_path: str, zones_path: str) -> None:
+def _warmup(spark, pages, zones_path: str) -> None:
     """Untimed warmup: spins up executor JVMs (JIT) and python UDF workers
     before measurement — standard bench hygiene; per-worker cold-start
     measured ~5-20s, pure overhead unrelated to per-doc throughput."""
@@ -39,7 +54,7 @@ def _warmup(spark, pages_path: str, zones_path: str) -> None:
     from tiledspark.join import spatial_join
     from tiledspark.tree import build_tile_tree
 
-    pages = spark.read.parquet(pages_path).limit(30_000)
+    pages = pages.limit(30_000)
     docs = (
         dedupe_latest_by_url(extract_coords(pages))
         .where(F.col("lat").isNotNull())
@@ -60,14 +75,26 @@ def main() -> None:
     n_pages = int(
         os.environ.get("SPARK_GRAFT_PAGES_N", synth.pages_rows_for_sf_dir(sf_dir))
     )
-    pages_path = synth.ensure_pages(BENCH_CACHE, n_pages)
+    # SPARK_GRAFT_SRC=expr: generate pages IN EXECUTORS (deterministic Column
+    # exprs, synth.pages_df) — the scaling-bench source, where the corpus must
+    # exceed what the driver-side numpy generator can build and the shared-
+    # disk scan is a sandbox artifact. Default "file" stays byte-pinned to
+    # the FIXTURES corpus.
+    src = os.environ.get("SPARK_GRAFT_SRC", "file")
     zones_path = synth.ensure_zones(BENCH_CACHE)
 
     spark = get_spark(master=master, app_name="tiledspark-bench")
     timings: dict[str, float] = {}
 
+    if src == "expr":
+        pages = synth.pages_df(spark, n_pages)
+    else:
+        pages = spark.read.parquet(synth.ensure_pages(BENCH_CACHE, n_pages))
+
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") == "1":
-        _warmup(spark, pages_path, zones_path)
+        _warmup(spark, pages, zones_path)
+
+    cpu0 = _cpu_busy_sec()
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -76,8 +103,6 @@ def main() -> None:
         return out
 
     # --- headline pipeline: ingest -> extract -> dedupe -> tile -> tree -> join
-    pages = spark.read.parquet(pages_path)
-
     def _build():
         # "tiled" per the north_star = quadtree tile + H3/S2 cell indexes
         from tiledspark.cells import with_cell_indexes
@@ -156,6 +181,7 @@ def main() -> None:
     timed("snapshot_commit", _commit)
 
     pipeline_sec = timings["tile_build"] + timings["tile_tree"] + timings["spatial_join"]
+    cpu_busy = round(_cpu_busy_sec() - cpu0, 1)
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "docs/sec tiled+joined (headline suite wall time)",
@@ -168,7 +194,10 @@ def main() -> None:
         "tree_rows": tree_rows,
         "join_rows": join_rows,
         "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
+        "cpu_busy_sec": cpu_busy,
+        "cpu_util_cores": round(cpu_busy / total, 2) if total else None,
         "master": master,
+        "src": src,
     }
     print(json.dumps(result))
 

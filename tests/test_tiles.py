@@ -104,3 +104,36 @@ def test_ancestors_expr(spark):
     # each successive element is the parent of the previous
     for i in range(1, len(anc)):
         assert anc[i] == int(tiles.np_tile_parent(np.int64(anc[i - 1])))
+
+
+def test_literal_ancestors_equal_general_path(spark):
+    """tile_ancestors_literal_expr (integer-shift hot path) must agree with
+    the general pow-based tile_ancestors_expr at every zoom."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tiledspark import tiles
+
+    pts = pd.DataFrame(
+        {
+            "lat": [0.0, 51.5074, -33.8688, 84.0, -84.0, 12.34567],
+            "lon": [0.0, -0.1278, 151.2093, 179.999, -179.999, -77.654],
+        }
+    )
+    df = spark.createDataFrame(pts)
+    for zoom in (0, 1, 8, 14, 18):
+        tid = tiles.tile_id_expr(F.col("lon"), F.col("lat"), zoom)
+        got = df.select(
+            tiles.tile_ancestors_literal_expr(tid, zoom).alias("lit"),
+            tiles.tile_ancestors_expr(tid).alias("gen"),
+        ).collect()
+        for r in got:
+            assert list(r["lit"]) == list(r["gen"]), (zoom, r)
+    # partial range [z, min_zoom]
+    tid = tiles.tile_id_expr(F.col("lon"), F.col("lat"), 12)
+    got = df.select(
+        tiles.tile_ancestors_literal_expr(tid, 12, 6).alias("lit"),
+        F.slice(tiles.tile_ancestors_expr(tid), 1, 7).alias("gen"),
+    ).collect()
+    for r in got:
+        assert list(r["lit"]) == list(r["gen"])

@@ -89,10 +89,7 @@ def doc_cells_for_join(
     """docs(lat, lon, ...) -> one row per ancestor zoom in [z_min, z_join]
     (cover cells are mixed-zoom, so the doc side must offer every zoom)."""
     deep = tiles.tile_id_expr(F.col("lon"), F.col("lat"), z_join)
-    zooms = list(range(z_min, z_join + 1))
-    anc = F.array(
-        *[tiles.tile_ancestor_at_expr(deep, F.lit(z)) for z in zooms]
-    )
+    anc = tiles.tile_ancestors_literal_expr(deep, z_join, z_min)
     return docs.where(
         F.col("lat").isNotNull() & F.col("lon").isNotNull()
     ).withColumn("cell", F.explode(anc))
@@ -164,6 +161,12 @@ def spatial_join(
             ).otherwise(F.array(F.lit(0))),
         ).withColumn("salt", F.explode("_salts")).drop("_salts", "_hot")
         cand = dc_s.join(zc_s, ["cell", "salt"]).drop("salt")
+
+    # materialize the candidate set ONCE: interior and boundary branch from
+    # it, and without the cut each branch re-runs the whole doc-side explode
+    # + join (measured 2× the stage cost at 4M pages). localCheckpoint writes
+    # O(candidates) — cheaper than a second pass over O(docs × zoom-levels).
+    cand = cand.localCheckpoint(eager=False)
 
     interior = cand.where(~F.col("is_boundary")).select(doc_key, "lat", "lon", "zone_id")
 

@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         # uniform local executors: never idle a core waiting for cache locality
         .config("spark.locality.wait", "0s")
+        # AQE's 64MB advisory coalesces mid-size shuffles below the cluster's
+        # core count, idling executors in post-shuffle stages (e.g. the cells
+        # UDF runs in the dedupe window's output stage) — target smaller
+        # post-shuffle partitions so every core stays busy
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "64m"),
+        )
     )
     if master.startswith("local-cluster"):
         # multi-executor-process mode: workers need the engine on their

@@ -18,6 +18,7 @@ makes the per-url byte-identical-text invariant checkable end-to-end.
 
 from __future__ import annotations
 
+import math
 import os
 from datetime import datetime, timezone
 
@@ -323,3 +324,101 @@ def ensure_diff_batches(
             os.replace(tmp, p)
         paths.append(p)
     return paths
+
+
+# --- in-executor generator (scaling corpora) ------------------------------------
+
+def pages_df(spark, n: int, seed: int = SEED_PAGES):
+    """Deterministic pages DataFrame generated IN EXECUTORS with pure Column
+    exprs — no driver materialization, no parquet, no shared-disk scan.
+
+    Purpose: SCALING corpora beyond what the numpy generator can build (the
+    driver-side text loop is O(n) single-threaded Python — minutes at 16M
+    rows, while this generates wherever the executors are and scales with
+    them). Distribution parity with gen_pages_table (same vocab, same Zipf
+    cluster mix, same geo-token grammar, ~n/3 distinct urls × 3 crawls), NOT
+    byte parity: correctness goldens stay pinned to the numpy FIXTURES
+    corpus; this one feeds throughput/scaling benchmarks only, where the only
+    requirement is "identical input at both cluster sizes", guaranteed by
+    seed-pinned hash exprs.
+    """
+    from pyspark.sql import functions as F
+
+    n_urls = max(n // 3, 1)
+    vocab = F.array(*[F.lit(w) for w in _vocab()])
+    centers = city_centers()
+    zw = _zipf_weights(N_CLUSTERS)
+    cum = zw.cumsum()[:-1]  # 19 boundaries
+    cum_arr = F.array(*[F.lit(float(c)) for c in cum])
+    clat = F.array(*[F.lit(float(v)) for v in centers[:, 0]])
+    clon = F.array(*[F.lit(float(v)) for v in centers[:, 1]])
+
+    def h(tag):
+        return F.xxhash64(
+            F.concat(F.lit(f"s{seed}_{tag}_"), F.col("_uid").cast("string"))
+        )
+
+    def u01(tag):
+        return (F.pmod(h(tag), F.lit(1_000_000)).cast("double")) / 1e6
+
+    df = spark.range(n).withColumn("_uid", F.pmod(F.col("id"), F.lit(n_urls)))
+
+    # Zipf cluster index via inverse CDF: count boundaries <= u
+    u_c = u01("cluster")
+    cidx = F.size(F.filter(cum_arr, lambda c: c <= u_c)) + F.lit(1)  # 1-based
+    # Box-Muller jitter (distribution parity with numpy normal(0, sigma))
+    bm = F.sqrt(F.lit(-2.0) * F.log(u01("bm1") + F.lit(1e-9)))
+    jlat = bm * F.cos(F.lit(2.0 * math.pi) * u01("bm2")) * F.lit(CLUSTER_SIGMA)
+    jlon = bm * F.sin(F.lit(2.0 * math.pi) * u01("bm2")) * F.lit(CLUSTER_SIGMA)
+    is_clustered = u01("isc") < F.lit(0.8)
+    lat = F.when(
+        is_clustered, F.element_at(clat, cidx) + jlat
+    ).otherwise(u01("ulat") * F.lit(130.0) - F.lit(60.0))
+    lon = F.when(
+        is_clustered, F.element_at(clon, cidx) + jlon
+    ).otherwise(u01("ulon") * F.lit(360.0) - F.lit(180.0))
+    lat = F.least(F.greatest(lat, F.lit(-84.0)), F.lit(84.0))
+    lon = F.pmod(lon + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+
+    n_words = (F.pmod(h("nw"), F.lit(61)) + F.lit(20)).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.element_at(
+            vocab,
+            (
+                F.pmod(
+                    F.xxhash64(F.concat(F.col("_uid").cast("string"), F.lit("_w_"), i.cast("string"))),
+                    F.lit(512),
+                )
+                + F.lit(1)
+            ).cast("int"),
+        ),
+    )
+    has_geo = u01("geo") < F.lit(GEO_TOKEN_FRACTION)
+    token = F.format_string("geo:%.6f,%.6f", lat, lon)
+    pos = F.pmod(h("pos"), n_words.cast("long") + F.lit(1)).cast("int")
+    with_token = F.concat(
+        F.slice(words, 1, pos),
+        F.array(token),
+        F.slice(words, pos + F.lit(1), n_words - pos),
+    )
+    text = F.array_join(F.when(has_geo, with_token).otherwise(words), " ")
+
+    langs = F.array(*[F.lit(x) for x in ["en", "de", "fr", "nl", "es"]])
+    lzw = _zipf_weights(5).cumsum()[:-1]
+    lcum = F.array(*[F.lit(float(v)) for v in lzw])
+    u_l = u01("lang")
+    lang = F.element_at(langs, F.size(F.filter(lcum, lambda c: c <= u_l)) + F.lit(1))
+
+    return df.select(
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.col("_uid"), F.lit(1000)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("_uid").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2025) + F.col("id") * F.lit(137)).alias("warc_ts"),
+        F.encode(F.lit("<html/>"), "utf-8").alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )

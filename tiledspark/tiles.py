@@ -138,11 +138,38 @@ def tile_ancestor_at_expr(tile_id: Column, anc_zoom: Column) -> Column:
 def tile_ancestors_expr(tile_id: Column) -> Column:
     """Array of all ancestors from the tile's own zoom down to zoom 0 (inclusive of self).
 
-    UDF-free: F.transform over F.sequence(zoom, 0, -1).
+    UDF-free: F.transform over F.sequence(zoom, 0, -1). General path for
+    mixed-zoom columns; when the zoom is known statically use
+    tile_ancestors_literal_expr (integer shifts, no double pow per level).
     """
     zoom, _, _ = tile_unpack_exprs(tile_id)
     zooms = F.sequence(zoom, F.lit(0), F.lit(-1))
     return F.transform(zooms, lambda az: tile_ancestor_at_expr(tile_id, az))
+
+
+def tile_ancestors_literal_expr(
+    tile_id: Column, tile_zoom: int, min_zoom: int = 0
+) -> Column:
+    """Ancestor chain [tile_zoom .. min_zoom] (inclusive of self, descending)
+    when the tile's zoom is known STATICALLY: literal-amount integer shifts
+    instead of the general path's per-level double pow/floor-divide.
+
+    This is the hot-path variant — the doc-side ancestor explode runs once
+    per document per zoom level (10^13 evaluations at 10^12 docs), where
+    shiftrightunsigned vs pow()/floor() is a multi-× CPU difference inside
+    the same whole-stage-codegen'd Project.
+    """
+    _, x, y = tile_unpack_exprs(tile_id)
+    return F.array(
+        *[
+            tile_pack_expr(
+                z,
+                F.shiftrightunsigned(x, tile_zoom - z),
+                F.shiftrightunsigned(y, tile_zoom - z),
+            )
+            for z in range(tile_zoom, min_zoom - 1, -1)
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -61,7 +61,9 @@ def tile_counts_all_zooms(
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
     up = base.select(
-        F.explode(tiles.tile_ancestors_expr(F.col("tile_id"))).alias("tile_id"),
+        F.explode(
+            tiles.tile_ancestors_literal_expr(F.col("tile_id"), z_base)
+        ).alias("tile_id"),
         "doc_count",
     ).groupBy("tile_id").agg(F.sum("doc_count").alias("doc_count"))
 
@@ -83,10 +85,7 @@ def tile_counts_all_zooms(
             )
             .select(
                 F.explode(
-                    F.filter(
-                        tiles.tile_ancestors_expr(F.col("_deep")),
-                        lambda a: F.shiftrightunsigned(a, 58) > z_base,
-                    )
+                    tiles.tile_ancestors_literal_expr(F.col("_deep"), z_max, z_base + 1)
                 ).alias("tile_id")
             )
             .groupBy("tile_id")
@@ -234,7 +233,10 @@ def assign_docs_to_leaves(
     docs = (
         doc_points.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
         .withColumn("_deep", tiles.tile_id_expr(F.col("lon"), F.col("lat"), z_max))
-        .withColumn("leaf_tile_id", F.explode(tiles.tile_ancestors_expr(F.col("_deep"))))
+        .withColumn(
+            "leaf_tile_id",
+            F.explode(tiles.tile_ancestors_literal_expr(F.col("_deep"), z_max)),
+        )
         .drop("_deep")
     )
     return docs.join(leaves, "leaf_tile_id", "inner")

@@ -123,17 +123,27 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= min_cos): equi-join on exploded
     (table, bucket), dedupe, exact-verify. ~94% recall at cos 0.9 with the
-    default 8x8 config (documented trade-off of the approximate path)."""
+    default 8x8 config (documented trade-off of the approximate path).
+
+    Scale shape (same fix as the MinHash band join): the bucket exchange
+    carries ONLY (bucket, id) — embeddings are joined back for the surviving
+    candidate pairs alone, so the wide shuffle is ids, not 512-byte vectors.
+    """
     b = with_lsh_buckets(emb, emb_col, dim).select(
-        F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"),
-        F.explode("buckets").alias("bucket"),
+        F.col(id_col).alias("_id"), F.explode("buckets").alias("bucket")
     )
-    a = b.select("bucket", F.col("_id").alias("id_a"), F.col("_e").alias("e_a"))
-    c = b.select("bucket", F.col("_id").alias("id_b"), F.col("_e").alias("e_b"))
-    return (
+    a = b.select("bucket", F.col("_id").alias("id_a"))
+    c = b.select("bucket", F.col("_id").alias("id_b"))
+    pairs = (
         a.join(c, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    e = emb.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"))
+    return (
+        pairs.join(e.select(F.col("_id").alias("id_a"), F.col("_e").alias("e_a")), "id_a")
+        .join(e.select(F.col("_id").alias("id_b"), F.col("_e").alias("e_b")), "id_b")
         .withColumn("cos_sim", _cos_expr(F.col("e_a"), F.col("e_b")))
         .where(F.col("cos_sim") >= min_cos)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
