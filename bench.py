@@ -54,7 +54,10 @@ def _warmup(spark, pages, zones_path: str) -> None:
     from tiledspark.join import spatial_join
     from tiledspark.tree import build_tile_tree
 
-    pages = pages.limit(30_000)
+    # spread the warmup over every core so ALL executor python UDF workers
+    # spawn before timing (a 30k-row warmup otherwise touches 1-2 partitions
+    # and leaves most of a 24-core cluster's workers cold)
+    pages = pages.limit(30_000).repartition(spark.sparkContext.defaultParallelism)
     docs = (
         dedupe_latest_by_url(extract_coords(pages))
         .where(F.col("lat").isNotNull())

@@ -59,6 +59,10 @@ def tile_counts_all_zooms(
         docs.withColumn("tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), z_base))
         .groupBy("tile_id")
         .agg(F.count(F.lit(1)).alias("doc_count"))
+        # materialize once: three consumers (ancestor rollup, the split-id
+        # broadcast, the deep-docs join) would otherwise each re-run the
+        # doc-scale groupBy; the checkpoint is O(base tiles), never O(docs)
+        .localCheckpoint(eager=True)
     )
     up = base.select(
         F.explode(
