@@ -54,12 +54,24 @@ def run_once(master: str, sf_dir: str, pages_n: int, src: str) -> dict:
     )
     lines = out.stdout.strip().splitlines()
     if not lines:
+        tail = "\n".join(out.stderr.splitlines()[-40:])
         sys.stderr.write(
-            f"bench.py produced no stdout (rc={out.returncode}); stderr tail:\n"
-            + "\n".join(out.stderr.splitlines()[-40:])
-            + "\n"
+            f"bench.py produced no stdout (rc={out.returncode}); stderr tail:\n{tail}\n"
         )
-        raise RuntimeError("bench run failed")
+        # only executor/worker churn is worth a blind retry; anything else
+        # (bad args, OOM at the configured corpus, import error) is
+        # deterministic and retrying it just burns 3x the timeout
+        transient = any(
+            pat in tail
+            for pat in (
+                "ExecutorLostFailure",
+                "Connection refused",
+                "Address already in use",
+                "RpcEnv already stopped",
+                "java.io.EOFException",
+            )
+        )
+        raise RuntimeError(f"bench run failed ({'transient' if transient else 'DETERMINISTIC'}): {tail[-400:]}") from None
     return json.loads(lines[-1])
 
 
@@ -99,10 +111,12 @@ def main() -> None:
                     try:
                         r = run_once(master, args.sf_dir, pages_n, src)
                         break
-                    except RuntimeError:
+                    except RuntimeError as e:
+                        if "DETERMINISTIC" in str(e):
+                            raise  # retrying a deterministic failure wastes 3x the timeout
                         print(
                             f"[{src}] {master} run {i + 1} attempt {attempt + 1} "
-                            "failed (transient executor death); cooling down",
+                            f"failed: {e}; cooling down",
                             flush=True,
                         )
                         time.sleep(15)

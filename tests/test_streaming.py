@@ -128,9 +128,11 @@ def test_stream_commit_diffs_layers(spark, tmp_path, pages_path):
 
 
 def test_stateful_tile_counts_carries_state_across_batches(spark, tmp_path):
-    """Op 68 (round-1 fix: real transformWithStateInPandas, not foreachBatch):
-    per-tile ValueState must accumulate across micro-batches and the final
-    running totals must equal a batch recompute over all diffs."""
+    """Op 68 (round-1 fix: real cross-batch GroupState via
+    applyInPandasWithState, not foreachBatch; transformWithStateInPandas is
+    env-blocked — its worker needs google.protobuf, absent here): per-tile
+    state must accumulate across micro-batches and the final running totals
+    must equal a batch recompute over all diffs."""
     from tiledspark import tiles
     from tiledspark.extract import extract_coords
     from tiledspark.streaming import stateful_tile_counts

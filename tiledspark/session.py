@@ -46,15 +46,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         # uniform local executors: never idle a core waiting for cache locality
         .config("spark.locality.wait", "0s")
-        # AQE's 64MB advisory coalesces mid-size shuffles below the cluster's
-        # core count, idling executors in post-shuffle stages (e.g. the cells
-        # UDF runs in the dedupe window's output stage) — target smaller
-        # post-shuffle partitions so every core stays busy
-        .config(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY", "64m"),
-        )
     )
+    # AQE advisory partition size: Spark's 64m default measured BEST here
+    # (16m tried and slightly worse — more tasks than work); env override
+    # kept for experiments only, no config is set otherwise.
+    if "SPARK_GRAFT_ADVISORY" in os.environ:
+        b = b.config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ["SPARK_GRAFT_ADVISORY"],
+        )
     if master.startswith("local-cluster"):
         # multi-executor-process mode: workers need the engine on their
         # python path, and the dist must be resolvable

@@ -6,10 +6,13 @@ Operators:
   one micro-batch per diff batch, the OsmChange cadence)
 - tumbling/sliding/session windowed aggregations with watermarks (ops 63-66)
 - stream_dedupe: dropDuplicatesWithinWatermark (op 67)
-- stateful_tile_counts: per-tile running counters via Spark 4
-  transformWithStateInPandas (ValueState in the RocksDB state store), state
-  carried across micro-batches (op 68); snapshot_running_counters remains as
-  the simpler foreachBatch variant
+- stateful_tile_counts: per-tile running counters via applyInPandasWithState
+  (GroupState carried across micro-batches, op 68). Spark 4's
+  transformWithStateInPandas is env-blocked here — its Python worker needs
+  google.protobuf, absent in this container (measured crash; see the
+  function docstring) — applyInPandasWithState exercises the same
+  cross-batch-state semantics. snapshot_running_counters remains as the
+  simpler foreachBatch variant
 - stream_commit_diffs: every micro-batch applies a copy-on-write diff to a
   SnapshotStore inside foreachBatch — exactly-once layering because each
   commit is tagged with its batch id and apply_diff skips an already-applied
