@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -132,6 +134,84 @@ def test_lsh_band_shuffle_carries_ids_only(spark):
         if "Exchange hashpartitioning" in line:
             head = line.split("Exchange hashpartitioning", 1)[1][:120]
             assert "_shingles" not in head and "sh_a" not in head and "sh_b" not in head, line
+
+
+def test_simhash_blocking_scheme_key_width():
+    """The round-2 flaw: m=1 at t=12 gave 4-5 bit keys. The combination
+    scheme must carry >= ~12 bits of key (>= 4096 buckets) at every t up to
+    16, with per-doc fan-out C(g,m) bounded by SIMHASH_COMBO_LIMIT."""
+    from tiledspark.textops import SIMHASH_COMBO_LIMIT, _blocking_scheme, _chunk_layout
+
+    for t in range(1, 17):
+        g, m = _blocking_scheme(t)
+        assert g == t + m, (t, g, m)  # pigeonhole recall precondition
+        w = max(wd for _, wd in _chunk_layout(g))
+        assert m * w >= 12, f"t={t}: key only {m * w} bits"
+        assert math.comb(g, m) <= SIMHASH_COMBO_LIMIT, (t, g, m)
+    # and specifically t=12 (the dedup_simhash query's setting) is >= 16 bits
+    g, m = _blocking_scheme(12)
+    assert m * max(wd for _, wd in _chunk_layout(g)) >= 16
+
+
+def test_simhash_bounded_buckets_uniform_100k(spark):
+    """At a 100k-doc corpus with uniform simhashes, NO blocking bucket may
+    hold >= 1% of docs (the round-2 scheme put ~3% of 100k docs in every
+    bucket: 32 distinct values per 5-bit chunk)."""
+    from tiledspark.textops import simhash_block_keys_expr
+
+    s = spark.range(100_000).select(
+        F.col("id").alias("_id"), F.xxhash64(F.col("id").cast("string")).alias("simhash")
+    )
+    sizes = (
+        s.select(F.explode(simhash_block_keys_expr(F.col("simhash"), 8)).alias("bk"))
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .agg(F.max("size").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert sizes < 1_000, f"largest bucket {sizes} >= 1% of 100k docs"
+
+
+def test_simhash_capped_buckets_adversarial_skew(spark):
+    """Adversarial shared-prefix corpus (high 32 bits identical): fully-
+    degenerate combos collide for every doc — the cap must bound the
+    self-join and the report must surface exactly those buckets."""
+    from tiledspark.textops import simhash_capped_buckets, simhash_pairs_from_hashes
+
+    n = 5_000
+    # hamming spread only in the low 32 bits
+    s = spark.range(n).select(
+        F.col("id").alias("_id"),
+        F.xxhash64(F.col("id").cast("string"))
+        .bitwiseAND(F.lit(0xFFFFFFFF))
+        .alias("simhash"),
+    )
+    report = simhash_capped_buckets(s, max_hamming=8, bucket_cap=100).toPandas()
+    assert len(report) >= 1 and (report["size"] == n).any(), report.head()
+    # capped pair generation stays bounded: every bucket contributes at most
+    # cap*(cap-1)/2 pairs, so the job completes and output is finite
+    pairs = simhash_pairs_from_hashes(s, max_hamming=8, bucket_cap=100)
+    assert pairs.count() >= 0  # terminates without quadratic blowup
+    # planted pair at low ids survives the deterministic (by-id) truncation
+    planted = spark.createDataFrame(
+        pd.DataFrame({"_id": [-2, -1], "simhash": [12345, 12345]})
+    )
+    got = simhash_pairs_from_hashes(
+        s.unionByName(planted), max_hamming=8, bucket_cap=100
+    ).where((F.col("id_a") == -2) & (F.col("id_b") == -1))
+    assert got.count() == 1
+
+
+def test_simhash_exact_mode_max_hamming_zero(spark):
+    """max_hamming=0 (exact duplicates) must work — round 2 raised a runtime
+    error from the 64-bit mask literal overflowing int64."""
+    from tiledspark.textops import simhash_pairs_from_hashes
+
+    s = spark.createDataFrame(
+        pd.DataFrame({"_id": [1, 2, 3], "simhash": [7, 7, 9]})
+    )
+    got = simhash_pairs_from_hashes(s, max_hamming=0).toPandas()
+    assert len(got) == 1 and (got.iloc[0]["id_a"], got.iloc[0]["id_b"]) == (1, 2)
 
 
 def test_lsh_capped_buckets_report(spark):

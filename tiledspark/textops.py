@@ -17,13 +17,21 @@ triples — signatures and shingles are re-derived and joined back for the
 surviving candidate pairs alone, so no document-sized payload ever enters a
 wide exchange (the shingle/minhash projection is recomputed map-side, which
 at 100 TB trades two extra column-pruned scans for a shuffle that is ~50×
-narrower). Bucket pair expansion is guarded by a per-bucket cap (huge
-buckets = degenerate content, e.g. empty pages); the cap is NOT silent —
-`lsh_capped_buckets` reports every truncated (band_idx, band_hash, size)
-bucket, per the no-silent-caps principle.
+narrower). SimHash blocking keys are m-of-g chunk COMBINATIONS
+(_blocking_scheme): recall stays 100% by pigeonhole while the key carries
+>= ~16 bits, so buckets shrink with 2^keybits instead of the 2^4-2^5 the
+round-2 single-chunk scheme allowed; per-doc fan-out is C(g,m), explicit
+and capped at SIMHASH_COMBO_LIMIT. Bucket pair expansion on BOTH paths is
+guarded by a per-bucket cap (huge buckets = degenerate content, e.g. empty
+pages); the caps are NOT silent — `lsh_capped_buckets` and
+`simhash_capped_buckets` report every truncated bucket, per the
+no-silent-caps principle.
 """
 
 from __future__ import annotations
+
+import itertools
+import math
 
 import numpy as np
 import pandas as pd
@@ -243,39 +251,125 @@ def _chunk_layout(n_chunks: int) -> list[tuple[int, int]]:
     return spans
 
 
+# Hard ceiling on per-doc key fan-out: C(g, m) keys per doc go through the
+# blocking shuffle, so the cost is explicit and bounded (no silent blowup).
+SIMHASH_COMBO_LIMIT = 4096
+DEFAULT_SIMHASH_BUCKET_CAP = 2000
+
+
+def _blocking_scheme(max_hamming: int) -> tuple[int, int]:
+    """(g, m) for Manku-style combination blocking: split the 64-bit simhash
+    into g = max_hamming + m chunks and key on every m-combination of chunks.
+
+    RECALL: a pair at hamming <= t differs in <= t chunks, so it agrees on
+    >= g - t = m chunks — i.e. on at least one of the C(g, m) m-subsets —
+    and always collides on that subset's key. (m = 1 degenerates to the
+    round-1 pigeonhole scheme.)
+
+    SELECTIVITY: the key carries m chunks ≈ 64m/(t+m) bits. m = ceil(t/3)
+    makes that >= 16 bits, so a key space of >= 65536 buckets survives any
+    corpus size — the round-2 flaw was m = 1 at t = 12 (4-5 bit keys, <= 32
+    buckets per chunk, quadratic self-join at web scale). m is walked down
+    only when C(g, m) would exceed SIMHASH_COMBO_LIMIT (t > 15), trading key
+    width for fan-out; the bucket cap + report covers the residual."""
+    t = max_hamming
+    m = max(1, -(-t // 3))  # ceil(t/3) -> key width >= 16 bits
+    while m > 1 and math.comb(t + m, m) > SIMHASH_COMBO_LIMIT:
+        m -= 1
+    return t + m, m
+
+
+def simhash_block_keys_expr(simhash: Column, max_hamming: int) -> Column:
+    """simhash (long) -> array<long> of blocking keys (combo-id in bits 48+,
+    the m concatenated chunk values below). All JVM-side: the C(g,m) combos
+    are ONE literal array; one transform() computes every key per row."""
+    if max_hamming == 0:
+        # exact-duplicate mode: the whole word is the key (no 64-bit mask —
+        # the round-2 lower-bound bug)
+        return F.array(simhash)
+    g, m = _blocking_scheme(max_hamming)
+    spans = _chunk_layout(g)
+    w_shift = max(w for _, w in spans)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(simhash, off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in spans
+        ]
+    )
+    # each combo packed into one long literal: chunk index j at bits 8j
+    packed = [
+        sum(idx << (8 * j) for j, idx in enumerate(c))
+        for c in itertools.combinations(range(g), m)
+    ]
+    combo_arr = F.array(*[F.lit(p) for p in packed])
+
+    def _key(p, i):
+        acc = F.lit(0).cast("long")
+        for j in range(m):
+            idx = F.shiftright(p, 8 * j).bitwiseAND(F.lit(255)).cast("int")
+            acc = F.shiftleft(acc, w_shift).bitwiseOR(
+                F.element_at(chunks, idx + F.lit(1))
+            )
+        return acc.bitwiseOR(F.shiftleft(i.cast("long"), 48))
+
+    return F.transform(combo_arr, _key)
+
+
+def simhash_capped_buckets(
+    s: DataFrame,
+    max_hamming: int,
+    bucket_cap: int = DEFAULT_SIMHASH_BUCKET_CAP,
+    id_col: str = "_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """No-silent-caps report (same contract as lsh_capped_buckets): every
+    blocking key whose bucket exceeds bucket_cap, with its size. These are
+    the buckets simhash_pairs_from_hashes truncates; at web scale they mean
+    degenerate near-identical content (boilerplate) or an adversarial shared
+    bit-prefix, and the report makes the dropped comparisons auditable."""
+    blocked = s.select(
+        F.col(id_col).alias("_id"),
+        F.explode(simhash_block_keys_expr(F.col(hash_col), max_hamming)).alias("bk"),
+    )
+    return (
+        blocked.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > bucket_cap)
+    )
+
+
 def simhash_pairs_from_hashes(
-    s: DataFrame, max_hamming: int, id_col: str = "_id", hash_col: str = "simhash"
+    s: DataFrame,
+    max_hamming: int,
+    id_col: str = "_id",
+    hash_col: str = "simhash",
+    bucket_cap: int | None = DEFAULT_SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """(id, simhash) rows -> near-dup pairs with hamming <= max_hamming.
 
-    Blocking GUARANTEE (round-1 fix): block on max_hamming+1 contiguous bit
-    chunks. Any pair at hamming <= max_hamming differs in at most max_hamming
-    chunks, so by pigeonhole it agrees EXACTLY on at least one of the
-    max_hamming+1 chunks and is always surfaced — 100% recall by
-    construction, no silent parameter mismatch (the 4-chunk scheme this
-    replaces only guaranteed hamming <= 3)."""
+    Blocking: Manku-style m-of-g chunk combinations (_blocking_scheme) —
+    100% recall by pigeonhole AND >= ~16-bit keys, so bucket population
+    stays ~n/2^16 per combo instead of the round-2 n/32. Oversized buckets
+    (> bucket_cap rows) are truncated deterministically (by id order) —
+    call simhash_capped_buckets for the report; pass bucket_cap=None to
+    disable (exhaustive mode for small corpora / tests)."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    n_chunks = max_hamming + 1
     s = s.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("simhash"))
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("ci"),
-                F.shiftrightunsigned("simhash", off)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("cv"),
-            )
-            for i, (off, width) in enumerate(_chunk_layout(n_chunks))
-        ]
+    blocked = s.select(
+        "_id",
+        "simhash",
+        F.explode(simhash_block_keys_expr(F.col("simhash"), max_hamming)).alias("bk"),
     )
-    blocked = s.select("_id", "simhash", F.explode(chunks).alias("c")).select(
-        "_id", "simhash", "c.ci", "c.cv"
-    )
-    a = blocked.select("ci", "cv", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = blocked.select("ci", "cv", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    if bucket_cap is not None:
+        w = Window.partitionBy("bk").orderBy("_id")
+        blocked = blocked.withColumn("_bn", F.row_number().over(w)).where(
+            F.col("_bn") <= bucket_cap
+        ).drop("_bn")
+    a = blocked.select("bk", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = blocked.select("bk", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (
-        a.join(b, ["ci", "cv"])
+        a.join(b, "bk")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming64_expr(F.col("sh_a"), F.col("sh_b")))
@@ -285,12 +379,16 @@ def simhash_pairs_from_hashes(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bucket_cap: int | None = DEFAULT_SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by simhash over a text column; see
     simhash_pairs_from_hashes for the recall-guaranteed blocking scheme."""
     s = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
-    return simhash_pairs_from_hashes(s, max_hamming)
+    return simhash_pairs_from_hashes(s, max_hamming, bucket_cap=bucket_cap)
 
 
 # --- language id (stopword-profile heuristic, pure Column math) -----------------
