@@ -44,6 +44,40 @@ def test_lsh_bucket_determinism(spark, sf_dir):
     assert [list(x) for x in a["buckets"]] == [list(x) for x in b["buckets"]]
 
 
+def test_embedding_bucket_width_bounds_population(spark):
+    """Round-3 hardening: with 16-bit buckets, a 50k uniform corpus leaves
+    <1% of vectors in any one bucket (the old 8-bit keys held ~n/256)."""
+    from tiledspark.vector import embedding_capped_buckets
+
+    rng = np.random.default_rng(5)
+    n, dim = 50_000, 8
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": list(rng.standard_normal((n, dim)).astype(np.float32))}
+    )
+    pdf["embedding"] = pdf["embedding"].map(list)
+    emb = spark.createDataFrame(pdf)
+    # report with cap = 1% of n: nothing may exceed it on a uniform corpus
+    over = embedding_capped_buckets(emb, dim=dim, bucket_cap=n // 100).count()
+    assert over == 0, f"{over} buckets exceed 1% of {n} vectors"
+
+
+def test_embedding_capped_buckets_degenerate(spark):
+    """A degenerate corpus (thousands of identical vectors) must be capped
+    AND reported — round 2 had no cap here (unbounded m^2 self-join)."""
+    from tiledspark.vector import embedding_capped_buckets, embedding_near_dup_pairs
+
+    n = 3_000
+    vec = [1.0] + [0.0] * 15
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [vec] * n})
+    emb = spark.createDataFrame(pdf)
+    report = embedding_capped_buckets(emb, dim=16, bucket_cap=100).toPandas()
+    assert len(report) >= 1 and (report["size"] == n).all(), report.head()
+    pairs = embedding_near_dup_pairs(emb, dim=16, min_cos=0.99, bucket_cap=100)
+    n_pairs = pairs.count()
+    # capped: at most cap*(cap+probe rows) pairs, never ~n^2/2 = 4.5M
+    assert 0 < n_pairs < 200_000, n_pairs
+
+
 def test_embedding_near_dup_pairs(spark):
     rng = np.random.default_rng(17)
     base = rng.standard_normal((30, 16)).astype(np.float32)

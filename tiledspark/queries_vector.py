@@ -101,9 +101,54 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
-@query("embedding_near_dups")
+@query(
+    "embedding_near_dups",
+    f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    planted AS (
+        SELECT vec_id + 10000000 AS vec_id,
+               list_transform(emb,
+                   (x, i) -> x + CAST((vec_id + i - 1) % 8 AS DOUBLE) / 1024.0) AS emb
+        FROM base WHERE vec_id < 10
+    ),
+    un AS (
+        SELECT vec_id, emb FROM base UNION ALL SELECT vec_id, emb FROM planted
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_DOT_SQL.format(a='a.emb', b='b.emb')}
+               / (SQRT({_DOT_SQL.format(a='a.emb', b='a.emb')})
+                  * SQRT({_DOT_SQL.format(a='b.emb', b='b.emb')})) AS cs
+        FROM un a JOIN un b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cs, 4) AS cos_sim FROM pairs WHERE cs >= 0.9
+    """,
+)
 def embedding_near_dups(spark, sf_dir):
+    """Embedding near-dup detection, ORACLED (round-2 fix: the sf0.01 row was
+    0 rows — vacuous). Ten deterministic jittered copies are planted
+    (vec_id+10M, +((vec_id+i)%8)/1024 per dim → cos ≈ 0.999); the base
+    corpus's max pair cosine at sf0.01 is 0.513, so the qualifying set is
+    EXACTLY the planted pairs and the LSH path must find all of them — the
+    oracle brute-forces every pair in DuckDB. Integer-derived jitter keeps
+    the arithmetic bit-identical across engines."""
     from tiledspark.vector import embedding_near_dup_pairs
 
     e = table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, min_cos=0.5).orderBy("id_a", "id_b")
+    base = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+    planted = base.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            "emb",
+            lambda x, i: x + ((F.col("vec_id") + i) % 8).cast("double") / F.lit(1024.0),
+        ).alias("emb"),
+    )
+    un = base.unionByName(planted)
+    pairs = embedding_near_dup_pairs(un, emb_col="emb", dim=64, min_cos=0.9)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")).orderBy(
+        "id_a", "id_b"
+    )
