@@ -30,11 +30,41 @@ def _synth_pages(spark, sf_dir):
     return spark.read.parquet(synth.ensure_pages(_SYNTH_CACHE, n))
 
 
-# --- ops 1–3 with independent oracle -----------------------------------------
+# --- ops 1–3 + 17 with independent oracle -------------------------------------
 
-@query(
-    "tile_math",
-    """
+# One polygon (outer ring + hole, open form: first vertex NOT repeated),
+# single source of truth for BOTH the Spark kernel call and the generated
+# DuckDB ray-cast SQL. Covers a big slice of the customer-derived point
+# cloud (lat in [-70,70), lon in [-170,-20) at sf0.01).
+_PIP_RING = [
+    (55.0, -150.0), (40.0, -100.0), (50.0, -60.0), (10.0, -40.0),
+    (-20.0, -55.0), (-55.0, -90.0), (-40.0, -140.0), (5.0, -165.0),
+]
+_PIP_HOLE = [(20.0, -120.0), (15.0, -90.0), (-15.0, -100.0), (-10.0, -125.0)]
+
+
+def _ring_crossing_sql(ring: list[tuple[float, float]], lat: str, lon: str) -> str:
+    """Even-odd crossing parity of ({lat},{lon}) against a literal ring —
+    the exact arithmetic of geom.np_points_in_ring: straddle test, then
+    px < x1 + (py-y1)*(x2-x1)/(y2-y1), same operation order so IEEE doubles
+    agree bit-for-bit across engines. Horizontal edges never straddle."""
+    closed = ring + [ring[0]]
+    terms = []
+    for (y1, x1), (y2, x2) in zip(closed[:-1], closed[1:]):
+        if y1 == y2:
+            continue
+        terms.append(
+            f"CASE WHEN (({y1!r} > {lat}) != ({y2!r} > {lat})) AND "
+            f"({lon} < {x1!r} + ({lat} - {y1!r}) * ({x2!r} - {x1!r}) / ({y2!r} - {y1!r})) "
+            "THEN 1 ELSE 0 END"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _tile_math_sql() -> str:
+    in_outer = _ring_crossing_sql(_PIP_RING, "lat", "lon")
+    in_hole = _ring_crossing_sql(_PIP_HOLE, "lat", "lon")
+    return f"""
     WITH pts AS (
         SELECT c_custkey,
                (ABS(c_acctbal) % 140.0) - 70.0 AS lat,
@@ -53,18 +83,46 @@ def _synth_pages(spark, sf_dir):
     )
     SELECT c_custkey, x, y,
            (CAST(14 AS BIGINT) << 58) | (x << 29) | y AS tile_id,
-           (CAST(13 AS BIGINT) << 58) | ((x >> 1) << 29) | (y >> 1) AS parent_id
+           (CAST(13 AS BIGINT) << 58) | ((x >> 1) << 29) | (y >> 1) AS parent_id,
+           {in_outer} AND NOT {in_hole} AS in_poly
     FROM xy
-    """,
-)
+    """
+
+
+@query("tile_math", _tile_math_sql())
 def tile_math(spark, sf_dir):
+    """Ops 1-3 (slippy tile math) + op 17 (ray-casting point-in-polygon,
+    round-3 widening): in_poly runs the REAL numpy kernel
+    (geom.np_points_in_polygon, donut polygon with a hole) through
+    mapInPandas, and DuckDB re-derives the crossing-number parity with the
+    identical arithmetic — the spatial join's PIP refinement is now
+    oracle-checked, not just pytest-checked."""
+    import numpy as np
+
+    from tiledspark.geom import np_points_in_polygon
+
     c = table(spark, sf_dir, "customer")
     lat = (F.abs(F.col("c_acctbal")) % F.lit(140.0)) - F.lit(70.0)
     lon = ((F.col("c_custkey") % 3400) * F.lit(0.1)) - F.lit(170.0)
     df = c.select(
         "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
         tiles.tile_x_expr(lon, 14).alias("x"),
         tiles.tile_y_expr(lat, 14).alias("y"),
+    )
+    ring = np.array(_PIP_RING + [_PIP_RING[0]], np.float64)
+    hole = np.array(_PIP_HOLE + [_PIP_HOLE[0]], np.float64)
+
+    def _pip(batches):
+        for pdf in batches:
+            res = np_points_in_polygon(
+                pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), ring, [hole]
+            )
+            yield pdf.assign(in_poly=res)
+
+    df = df.mapInPandas(
+        _pip, "c_custkey long, lat double, lon double, x long, y long, in_poly boolean"
     )
     tid = tiles.tile_pack_expr(14, F.col("x"), F.col("y"))
     return df.select(
@@ -73,18 +131,85 @@ def tile_math(spark, sf_dir):
         "y",
         tid.alias("tile_id"),
         tiles.tile_parent_expr(tid).alias("parent_id"),
+        "in_poly",
     )
 
 
-# --- pages pipeline (rows-only; golden-tested in pytest) ----------------------
+# --- op 13 core: tile-tree rollup with independent oracle ---------------------
 
-@query("tile_build_rollup")
-def tile_build_rollup(spark, sf_dir):
-    """Flagship: extract → dedupe → Z14 assign → per-tile rollup (ops 5, 14,
-    21, 23). Rows-only for the driver; byte-exact goldens in tests/."""
-    from tiledspark.pipeline import build_doc_tiles, tile_rollup
+_ROLLUP_ZB, _ROLLUP_ZM, _ROLLUP_MAX = 6, 10, 50
+_ROLLUP_LAT = "(ABS(c_acctbal) % 20.0) + 30.0"
+_ROLLUP_LON = "((c_custkey % 200) * 0.05) - 10.0"
 
-    return tile_rollup(build_doc_tiles(_synth_pages(spark, sf_dir))).orderBy("tile_id")
+
+def _xy_sql(z: int, lat: str, lon: str) -> tuple[str, str]:
+    n = 1 << z
+    x = f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {n}.0), 0), {n - 1}) AS BIGINT)"
+    clat = f"LEAST(GREATEST({lat}, -85.05112878), 85.05112878)"
+    y = (
+        f"CAST(LEAST(GREATEST(FLOOR((1.0 - LN(TAN(RADIANS({clat}))"
+        f" + SQRT(TAN(RADIANS({clat})) * TAN(RADIANS({clat})) + 1.0)) / PI())"
+        f" / 2.0 * {n}.0), 0), {n - 1}) AS BIGINT)"
+    )
+    return x, y
+
+
+def _rollup_sql() -> str:
+    zb, zm, md = _ROLLUP_ZB, _ROLLUP_ZM, _ROLLUP_MAX
+    xb, yb = _xy_sql(zb, "lat", "lon")
+    xm, ym = _xy_sql(zm, "lat", "lon")
+
+    def pack(z: int, x: str, y: str) -> str:
+        return f"(CAST({z} AS BIGINT) << 58) | (({x}) << 29) | ({y})"
+
+    # rollup zooms [0..zb] from the base tile by integer shifts (the mirror
+    # of tile_ancestors_literal_expr), deep zooms (zb..zm] only under base
+    # tiles whose count exceeds max_docs (the mirror of the drill-down join)
+    up = "\nUNION ALL\n".join(
+        f"SELECT {pack(z, f'xb >> {zb - z}', f'yb >> {zb - z}')} AS tile_id, "
+        f"CAST({z} AS INT) AS zoom, CAST(SUM(c) AS BIGINT) AS doc_count "
+        f"FROM base GROUP BY xb >> {zb - z}, yb >> {zb - z}"
+        for z in range(zb, -1, -1)
+    )
+    deep = "\nUNION ALL\n".join(
+        f"SELECT {pack(z, f'xm >> {zm - z}', f'ym >> {zm - z}')} AS tile_id, "
+        f"CAST({z} AS INT) AS zoom, CAST(COUNT(*) AS BIGINT) AS doc_count "
+        f"FROM deepsrc GROUP BY xm >> {zm - z}, ym >> {zm - z}"
+        for z in range(zm, zb, -1)
+    )
+    return f"""
+    WITH pts AS (
+        SELECT {_ROLLUP_LAT} AS lat, {_ROLLUP_LON} AS lon FROM customer
+    ),
+    xy AS (SELECT {xb} AS xb, {yb} AS yb, {xm} AS xm, {ym} AS ym FROM pts),
+    base AS (SELECT xb, yb, COUNT(*) AS c FROM xy GROUP BY xb, yb),
+    split_base AS (SELECT xb, yb FROM base WHERE c > {md}),
+    deepsrc AS (SELECT xy.* FROM xy JOIN split_base USING (xb, yb))
+    {up}
+    UNION ALL
+    {deep}
+    """
+
+
+@query("tile_tree_rollup", _rollup_sql())
+def tile_tree_rollup(spark, sf_dir):
+    """Op 13's arithmetic core (round-3 upgrade: the tile-tree evidence was
+    rows-only): tree.tile_counts_all_zooms — ONE base groupBy, ancestor
+    rollup by literal shifts, deep drill-down ONLY under splittable tiles —
+    re-derived in DuckDB SQL over customer-derived clustered points. The
+    full split/merge state machine stays golden-tested in pytest
+    (tile_tree_build below)."""
+    from tiledspark.tree import tile_counts_all_zooms
+
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        ((F.abs(F.col("c_acctbal")) % F.lit(20.0)) + F.lit(30.0)).alias("lat"),
+        (((F.col("c_custkey") % 200) * F.lit(0.05)) - F.lit(10.0)).alias("lon"),
+    )
+    out = tile_counts_all_zooms(
+        pts, z_max=_ROLLUP_ZM, z_base=_ROLLUP_ZB, max_docs=_ROLLUP_MAX
+    )
+    return out.select("tile_id", "zoom", "doc_count")
 
 
 @query("dedupe_latest_by_url")
@@ -117,34 +242,71 @@ def spatial_join_zones(spark, sf_dir):
     return spatial_join(spark, docs, zones).orderBy("zone_id", "url")
 
 
-@query("knn_cell_ring")
-def knn_cell_ring_q(spark, sf_dir):
-    """Op 19/20: grid-partitioned kNN via cell-ring expansion, 20 seeded
-    query points (rows-only; brute-force oracle in pytest)."""
-    import numpy as np
-    import pandas as pd
+_KNN_QUERIES = [
+    (0, 37.75, -122.45),
+    (1, -33.87, -70.67),
+    (2, 51.5, -60.1),
+    (3, 5.0, -100.0),
+    (4, -55.0, -169.0),
+]
 
-    from tiledspark.extract import dedupe_latest_by_url, extract_coords
+
+def _knn_sql() -> str:
+    vals = ", ".join(f"({q}, {la!r}, {lo!r})" for q, la, lo in _KNN_QUERIES)
+    two_r = repr(2.0 * 6371008.8)  # the exact literal Spark's haversine_m uses
+    dist = (
+        f"{two_r} * ASIN(SQRT(LEAST("
+        "SIN(RADIANS(d.lat - q.qlat) / 2) * SIN(RADIANS(d.lat - q.qlat) / 2)"
+        " + COS(RADIANS(q.qlat)) * COS(RADIANS(d.lat))"
+        " * SIN(RADIANS(d.lon - q.qlon) / 2) * SIN(RADIANS(d.lon - q.qlon) / 2), 1.0)))"
+    )
+    return f"""
+    WITH d AS (
+        SELECT c_custkey,
+               (ABS(c_acctbal) % 140.0) - 70.0 AS lat,
+               ((c_custkey % 3400) * 0.1) - 170.0 AS lon
+        FROM customer
+    ),
+    q(query_id, qlat, qlon) AS (VALUES {vals}),
+    scored AS (
+        SELECT q.query_id, d.c_custkey, {dist} AS dist_m
+        FROM q CROSS JOIN d
+    ),
+    ranked AS (
+        SELECT query_id, c_custkey, dist_m,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY dist_m ASC, c_custkey ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, c_custkey, ROUND(dist_m, 1) AS dist_m
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("knn_cell_ring", _knn_sql())
+def knn_cell_ring_q(spark, sf_dir):
+    """Op 19/20, ORACLED (round-3 upgrade from rows-only): the REAL
+    grid-partitioned cell-ring kNN (knn.knn_cell_ring — doubling block radii,
+    exact cross-track edge bounds) over customer-derived points vs a DuckDB
+    brute-force haversine + ROW_NUMBER re-derivation. The cell-ring algorithm
+    is exact by construction, so its top-k must equal brute force; the synth
+    pages corpus variant stays brute-force-checked in pytest (test_knn)."""
     from tiledspark.knn import knn_cell_ring
 
-    pages = _synth_pages(spark, sf_dir)
-    docs = (
-        dedupe_latest_by_url(extract_coords(pages))
-        .where(F.col("lat").isNotNull())
-        .select("url", "lat", "lon")
+    c = table(spark, sf_dir, "customer")
+    docs = c.select(
+        "c_custkey",
+        ((F.abs(F.col("c_acctbal")) % F.lit(140.0)) - F.lit(70.0)).alias("lat"),
+        (((F.col("c_custkey") % 3400) * F.lit(0.1)) - F.lit(170.0)).alias("lon"),
     )
-    rng = np.random.default_rng(99)
     queries_df = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "query_id": np.arange(20),
-                "lat": rng.uniform(-55, 65, 20),
-                "lon": rng.uniform(-170, 170, 20),
-            }
-        )
+        _KNN_QUERIES, "query_id long, lat double, lon double"
     )
-    out = knn_cell_ring(spark, docs, queries_df, k=5, zoom=8)
-    return out.select("query_id", "rank", "url", F.round("dist_m", 3).alias("dist_m"))
+    out = knn_cell_ring(spark, docs, queries_df, k=5, zoom=8, doc_key="c_custkey")
+    return out.select(
+        "query_id", "rank", "c_custkey", F.round("dist_m", 1).alias("dist_m")
+    )
 
 
 @query("tile_tree_build")

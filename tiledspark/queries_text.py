@@ -117,8 +117,30 @@ def dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(d, "doc_id", max_hamming=12).orderBy("id_a", "id_b")
 
 
-@query("lang_id_predict")
+def _langid_oracle_sql() -> str:
+    """Re-derive lang_id_expr's stopword argmax in DuckDB: per-language hit
+    counts via list_filter, argmax via struct-max (score first, then lang —
+    the same tie-break Spark's array_max of structs applies)."""
+    from tiledspark.textops import LANG_PROFILES
+
+    entries = ", ".join(
+        "{'score': LEN(list_filter(toks, x -> x IN (%s))), 'lang': '%s'}"
+        % (", ".join(f"'{w}'" for w in words), lang)
+        for lang, words in sorted(LANG_PROFILES.items())
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(LOWER(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           struct_extract(list_aggregate([{entries}], 'max'), 'lang') AS lang_pred
+    FROM t
+    """
+
+
+@query("lang_id_predict", _langid_oracle_sql())
 def lang_id_predict(spark, sf_dir):
+    """Language-ID prediction per document, ORACLED (round-2 upgrade from
+    rows-only): the stopword-profile argmax — including the score-then-lang
+    tie-break — is re-derived independently in DuckDB SQL."""
     from tiledspark.textops import lang_id_expr
 
     d = table(spark, sf_dir, "documents")

@@ -58,10 +58,16 @@ def _load_all() -> None:
 MAX_DRIVER_QUERIES = 50
 
 PRIORITY = [
-    # untested in round 1 (oracled first)
+    # new / reshaped in round 3 (all newly oracled or re-blocked — unproven)
+    "tile_tree_rollup",      # replaced rows-only tile_build_rollup; oracled
+    "knn_cell_ring",         # upgraded rows-only -> oracled brute-force SQL
+    "embedding_near_dups",   # round-2 row was 0 rows; now planted + oracled
+    "lang_id_predict",       # upgraded rows-only -> oracled argmax SQL
+    "tile_math",             # widened with the oracled PIP column (op 17)
+    "dedup_simhash",         # new combination blocking scheme
+    # round-2 newly-green (keep early: most recently changed before that)
     "vector_topk_bruteforce",
     "vector_norms",
-    # new / reshaped this round (oracled)
     "udaf_grouped_agg",
     "agg_cube_grouping",
     "join_outer",
@@ -71,11 +77,7 @@ PRIORITY = [
     "fn_json",
     "agg_hash_basic",
     "vector_to_raster",
-    # untested in round 1 (rows-only)
-    "lang_id_predict",
-    "dedup_simhash",
     "ann_lsh_topk",
-    "embedding_near_dups",
 ]
 
 
