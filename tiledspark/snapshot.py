@@ -181,6 +181,8 @@ class SnapshotStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path(sid))
+        if tag is not None:
+            self._record_tag(tag, sid)
         self._swap_latest(sid)
         return sid
 
@@ -200,7 +202,39 @@ class SnapshotStore:
             raise ValueError(f"no snapshot <= {as_of_snapshot}")
         return self.read(spark, ids[-1])
 
+    # --- tag index (round-3 fix): find_tag used to open + JSON-parse every
+    # manifest, making the per-micro-batch idempotence probe in
+    # stream_commit_diffs O(total snapshots) — quadratic over a long-running
+    # diff stream. commit() now maintains tags.json (tag -> first snapshot
+    # id, atomically swapped), so the probe is one small-file read. ---------
+
+    def _tags_path(self) -> str:
+        # store root, NOT manifests/ — the snapshots() glob must see only
+        # numeric manifest files
+        return os.path.join(self.root, "tags.json")
+
+    def _load_tags(self) -> dict[str, int]:
+        try:
+            with open(self._tags_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _record_tag(self, tag: str, sid: int) -> None:
+        tags = self._load_tags()
+        if tag in tags:  # first snapshot with a tag wins (find_tag's contract)
+            return
+        tags[tag] = sid
+        tmp = self._tags_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._tags_path())
+
     def find_tag(self, tag: str) -> int | None:
+        hit = self._load_tags().get(tag)
+        if hit is not None:
+            return hit
+        # legacy stores written before tags.json existed: one linear scan
         for sid in self.snapshots():
             if self.manifest(sid).get("tag") == tag:
                 return sid
