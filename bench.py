@@ -170,7 +170,10 @@ def main() -> None:
     for name in ("dedup_exact", "dedup_minhash_lsh", "vector_topk_bruteforce", "ann_lsh_topk"):
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())
 
-    # --- snapshot commit throughput
+    # --- snapshot commit throughput (+ optional diff-layer bench)
+    snapshot_diff_layers: list[dict] = []
+    n_diff_layers = int(os.environ.get("SPARK_GRAFT_SNAPDIFF", "0"))
+
     def _commit():
         from tiledspark.snapshot import SnapshotStore
 
@@ -181,7 +184,81 @@ def main() -> None:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    def _diff_stack():
+        """Separate stage (own store, 256 buckets): rewrite granularity is
+        min(touched tiles, buckets), so finer buckets than the commit
+        stage's 32 are what shows the copy-on-write ratio a localized diff
+        achieves at scale. Kept OUT of snapshot_commit so that metric stays
+        comparable across rounds."""
+        from tiledspark.snapshot import SnapshotStore
+
+        d = tempfile.mkdtemp(prefix="bench_diffstore_")
+        try:
+            store = SnapshotStore(d, n_buckets=256)
+            store.commit(docs, key_col="tile_id", index_key="url")
+            _diff_layers(store)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _diff_layers(store):
+        """K OsmChange-style delta batches applied as copy-on-write layers to
+        the full-corpus store, then an as-of read per layer (VERDICT r2 #7:
+        exercise apply_diff/time-travel at bench scale, report rewrite
+        ratios)."""
+        from tiledspark import tiles as _t
+        from tiledspark.extract import extract_coords
+
+        from tiledspark.cells import with_cell_indexes
+
+        for b in range(n_diff_layers):
+            batch = synth.gen_diff_batch(n_pages, b, rows=200)
+            raw = spark.createDataFrame(batch.to_pandas())
+            delta = extract_coords(raw).withColumn(
+                "tile_id",
+                F.when(
+                    F.col("lat").isNotNull(),
+                    _t.tile_id_expr(F.col("lon"), F.col("lat"), _t.Z_BASE),
+                ).otherwise(F.lit(0)),
+            ).select("url", "lat", "lon", "tile_id", "op")
+            # diffs flow through the SAME tiling/cell-index stage as the base
+            # build, so upserts match the store schema
+            delta = with_cell_indexes(
+                delta.where(F.col("lat").isNotNull()), s2_level=13, h3_res=7
+            ).unionByName(
+                delta.where(F.col("lat").isNull())
+                .withColumn("s2_cell", F.lit(None).cast("long"))
+                .withColumn("h3lite_cell", F.lit(None).cast("long"))
+            )
+            t0 = time.perf_counter()
+            sid = store.apply_diff(
+                spark, delta, row_key="url", key_col="tile_id", tag=f"bench_diff_{b}"
+            )
+            apply_sec = time.perf_counter() - t0
+            m = store.manifest(sid)
+            t0 = time.perf_counter()
+            rows_asof = store.time_travel(spark, sid).count()
+            read_sec = time.perf_counter() - t0
+            n_total = len(m["files"])
+            n_carried = m["diff"]["n_carried_files"]
+            snapshot_diff_layers.append(
+                {
+                    "layer": b + 1,
+                    "apply_sec": round(apply_sec, 3),
+                    "asof_read_sec": round(read_sec, 3),
+                    "rows_asof": rows_asof,
+                    "rewrite_ratio": round(1.0 - n_carried / n_total, 4) if n_total else None,
+                    "index_rewrite_ratio": round(
+                        1.0
+                        - m["diff"]["n_carried_index_files"]
+                        / max(len(m["index_files"]), 1),
+                        4,
+                    ),
+                }
+            )
+
     timed("snapshot_commit", _commit)
+    if n_diff_layers:
+        timed("snapshot_diff_stack", _diff_stack)
 
     pipeline_sec = timings["tile_build"] + timings["tile_tree"] + timings["spatial_join"]
     cpu_busy = round(_cpu_busy_sec() - cpu0, 1)
@@ -202,6 +279,8 @@ def main() -> None:
         "master": master,
         "src": src,
     }
+    if snapshot_diff_layers:
+        result["snapshot_diff_layers"] = snapshot_diff_layers
     print(json.dumps(result))
 
 

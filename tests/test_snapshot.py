@@ -35,7 +35,10 @@ def test_commit_read_roundtrip_and_lineage(spark, pages_path, store):
     m = store.manifest(sid)
     assert m["lineage"]["output_rows"] == n
     assert len(m["lineage"]["per_partition"]) == len(m["files"])
-    assert m["index_path"] and os.path.exists(os.path.join(store.root, m["index_path"]))
+    assert m["index_files"], "key index files must be recorded in the manifest"
+    for f in m["index_files"]:
+        assert f["partition"].startswith("ibucket=")
+        assert os.path.exists(os.path.join(store.root, f["path"]))
 
 
 def test_apply_diff_copy_on_write_and_moves(spark, pages_path, store):
@@ -76,6 +79,16 @@ def test_apply_diff_copy_on_write_and_moves(spark, pages_path, store):
     # no url duplicated anywhere (old bucket rewritten on moves)
     dup = after.groupBy("url").count().where(F.col("count") > 1).count()
     assert dup == 0
+    # round-3: the key index is copy-on-write too — untouched ibucket
+    # partitions carry by reference instead of a full-store index rebuild
+    carried_idx = {f["path"] for f in m2["index_files"]} & {
+        f["path"] for f in base_m["index_files"]
+    }
+    assert m2["diff"]["n_carried_index_files"] == len(carried_idx)
+    # and the carried+rewritten index still resolves a MOVED row's new bucket
+    moved_url = next(iter(upserted))
+    hit = store.get_by_key(spark, moved_url).collect()
+    assert len(hit) == 1 and hit[0]["text"] == upserted[moved_url]
     # time travel: snapshot 1 still shows the pre-diff state
     before = store.time_travel(spark, 1)
     assert before.count() == df.count()

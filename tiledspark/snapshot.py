@@ -84,9 +84,9 @@ class SnapshotStore:
 
     # --- commit ----------------------------------------------------------------
 
-    def _scan_files(self, data_dir: str) -> list[dict[str, Any]]:
+    def _scan_files(self, data_dir: str, part_glob: str = "tbucket=*") -> list[dict[str, Any]]:
         files = []
-        for p in sorted(glob.glob(os.path.join(data_dir, "tbucket=*", "*.parquet"))):
+        for p in sorted(glob.glob(os.path.join(data_dir, part_glob, "*.parquet"))):
             md = pq.read_metadata(p)
             files.append(
                 {
@@ -98,6 +98,12 @@ class SnapshotStore:
             )
         return files
 
+    def _index_bucket_expr(self, key):
+        """Key-index partition: ibucket = xxhash64(row key) % n_buckets —
+        the index is copy-on-write-partitioned exactly like the data, so a
+        diff rewrites only the index partitions its keys hash into."""
+        return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
+
     def commit(
         self,
         df: DataFrame,
@@ -107,12 +113,18 @@ class SnapshotStore:
         tag: str | None = None,
         extra_meta: dict | None = None,
         index_key: str | None = None,
+        index_df: DataFrame | None = None,
+        carried_index_files: list[dict] | None = None,
     ) -> int:
         """Write df partitioned by tbucket as a new immutable snapshot.
         carried_files (copy-on-write): files from an earlier snapshot included
         by reference, NOT rewritten. index_key: also write a compact
         (index_key, tbucket) side index — the analogue of tiled-db's id→tiles
-        index, consulted by apply_diff to find the OLD bucket of moved rows."""
+        index, consulted by apply_diff to find the OLD bucket of moved rows.
+        The index is itself ibucket-partitioned and copy-on-write: apply_diff
+        passes index_df (the rewritten index partitions only) +
+        carried_index_files; index_df=None rebuilds it from the leaf files
+        (full-commit / squash path)."""
         sid = self._next_id()
         data_dir = os.path.join(self.root, "data", f"{sid:08d}")
         out = df.withColumn(
@@ -126,26 +138,34 @@ class SnapshotStore:
             .parquet(data_dir)
         )
         new_files = self._scan_files(data_dir)
-        index_path = None
+        index_files: list[dict] = []
         if index_key is not None:
-            # rebuild the key index over this snapshot's full logical content
-            # (new + carried LEAF files; column-pruned scan, tbucket recomputed)
             spark = df.sparkSession
             idx_dir = os.path.join(data_dir, "_keyindex")
-            leaf_paths = [
-                os.path.join(self.root, f["path"])
-                for f in new_files + (carried_files or [])
-            ]
-            full = spark.read.parquet(*leaf_paths)
-            (
-                full.select(
+            if index_df is None:
+                # full rebuild over this snapshot's complete logical content
+                # (new + carried LEAF files; column-pruned scan)
+                leaf_paths = [
+                    os.path.join(self.root, f["path"])
+                    for f in new_files + (carried_files or [])
+                ]
+                index_df = spark.read.parquet(*leaf_paths).select(
                     F.col(index_key),
-                    F.pmod(F.col(key_col), F.lit(self.n_buckets)).cast("int").alias("tbucket"),
+                    F.pmod(F.col(key_col), F.lit(self.n_buckets))
+                    .cast("int")
+                    .alias("tbucket"),
                 )
+                carried_index_files = None
+            (
+                index_df.withColumn("ibucket", self._index_bucket_expr(F.col(index_key)))
+                .repartition("ibucket")
                 .write.mode("overwrite")
+                .partitionBy("ibucket")
                 .parquet(idx_dir)
             )
-            index_path = os.path.relpath(idx_dir, self.root)
+            index_files = (carried_index_files or []) + self._scan_files(
+                idx_dir, "ibucket=*"
+            )
         files = (carried_files or []) + new_files
         manifest = {
             "snapshot_id": sid,
@@ -153,7 +173,7 @@ class SnapshotStore:
             "tag": tag,
             "key_col": key_col,
             "index_key": index_key,
-            "index_path": index_path,
+            "index_files": index_files,
             "n_buckets": self.n_buckets,
             "files": files,
             "lineage": {
@@ -265,17 +285,32 @@ class SnapshotStore:
             return self.read(spark, snapshot_id).where(F.lit(False))
         return spark.read.parquet(*paths).where(F.col(key_col) == tile_id)
 
+    def _index_paths(self, m: dict[str, Any], ibuckets: set[int] | None = None) -> list[str]:
+        files = m.get("index_files") or []
+        if ibuckets is not None:
+            parts = {f"ibucket={b}" for b in ibuckets}
+            files = [f for f in files if f["partition"] in parts]
+        return [os.path.join(self.root, f["path"]) for f in files]
+
     def tiles_for_key(
         self, spark: SparkSession, key_value, snapshot_id: int | None = None
     ) -> DataFrame:
         """tiles_for_object: the key index rows for one row key — which
-        bucket(s) hold the object (the reference's id→tiles lookup)."""
+        bucket(s) hold the object (the reference's id→tiles lookup). Opens
+        ONLY the index partition the key hashes into (ibucket pruning)."""
         m = self.manifest(snapshot_id)
-        if not m.get("index_path"):
+        if not m.get("index_files"):
             raise ValueError(
                 "snapshot was committed without index_key; point lookups need it"
             )
-        idx = spark.read.parquet(os.path.join(self.root, m["index_path"]))
+        ib = spark.range(1).select(
+            self._index_bucket_expr(F.lit(key_value)).alias("ib")
+        ).collect()[0]["ib"]
+        paths = self._index_paths(m, {int(ib)})
+        if not paths:
+            empty = spark.read.parquet(*self._index_paths(m)).where(F.lit(False))
+            return empty
+        idx = spark.read.parquet(*paths)
         return idx.where(F.col(m["index_key"]) == key_value)
 
     def get_by_key(
@@ -321,15 +356,58 @@ class SnapshotStore:
         )
         new_buckets = {r["tbucket"] for r in delta.select("tbucket").distinct().collect()}
         # moved/deleted rows: their OLD bucket comes from the key index (the
-        # analogue of tiled-db's id→tiles lookup), not from the delta itself
+        # analogue of tiled-db's id→tiles lookup), not from the delta itself.
+        # The index is ibucket-partitioned + copy-on-write (round-3 fix: it
+        # used to be rebuilt from a FULL-STORE leaf scan every diff — O(store)
+        # per layer): only the index partitions the delta's keys hash into
+        # are read and rewritten; the rest carry by reference.
         old_buckets: set[int] = set()
         index_missing_full_rewrite = False
-        if base_m.get("index_path"):
-            idx = spark.read.parquet(os.path.join(self.root, base_m["index_path"]))
-            old = idx.join(
-                F.broadcast(delta.select(F.col(row_key)).distinct()), row_key, "left_semi"
+        new_index_df: DataFrame | None = None
+        carried_index_files: list[dict] | None = None
+        if base_m.get("index_files"):
+            delta_keys = (
+                delta.select(F.col(row_key))
+                .distinct()
+                .withColumn("ibucket", self._index_bucket_expr(F.col(row_key)))
             )
-            old_buckets = {r["tbucket"] for r in old.select("tbucket").distinct().collect()}
+            touched_ib = {
+                int(r["ibucket"]) for r in delta_keys.select("ibucket").distinct().collect()
+            }
+            idx_parts = {f"ibucket={b}" for b in touched_ib}
+            carried_index_files = [
+                f for f in base_m["index_files"] if f["partition"] not in idx_parts
+            ]
+            touched_idx_paths = [
+                os.path.join(self.root, f["path"])
+                for f in base_m["index_files"]
+                if f["partition"] in idx_parts
+            ]
+            if touched_idx_paths:
+                old_idx = spark.read.parquet(*touched_idx_paths)
+            else:
+                old_idx = (
+                    spark.read.parquet(*self._index_paths(base_m))
+                    .where(F.lit(False))
+                    if base_m["index_files"]
+                    else None
+                )
+            if old_idx is not None:
+                old = old_idx.join(
+                    F.broadcast(delta_keys.select(row_key)), row_key, "left_semi"
+                )
+                old_buckets = {
+                    r["tbucket"] for r in old.select("tbucket").distinct().collect()
+                }
+                # rewritten index partitions: old entries minus affected keys,
+                # plus the upserts' new (key, tbucket) rows
+                upsert_idx = (
+                    delta.where(F.col(op_col) == "upsert")
+                    .select(F.col(row_key), F.col("tbucket"))
+                )
+                new_index_df = old_idx.join(
+                    delta_keys.select(row_key), row_key, "left_anti"
+                ).unionByName(upsert_idx)
         elif base_m["files"]:
             # Round-1 fix: without a key index we cannot locate the OLD bucket
             # of a moved/deleted row, and silently skipping the lookup would
@@ -366,11 +444,14 @@ class SnapshotStore:
             parent=base_m["snapshot_id"],
             carried_files=carried,
             index_key=base_m.get("index_key"),
+            index_df=new_index_df,
+            carried_index_files=carried_index_files,
             tag=tag,
             extra_meta={
                 "diff": {
                     "affected_partitions": sorted(affected_parts),
                     "n_carried_files": len(carried),
+                    "n_carried_index_files": len(carried_index_files or []),
                     "index_missing_full_rewrite": index_missing_full_rewrite,
                 }
             },
