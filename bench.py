@@ -37,6 +37,44 @@ def _cpu_busy_sec() -> float:
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
+
+def _pin_cores(n_exec_cores: int, n_driver_cores: int = 2) -> dict | None:
+    """Fair-share CPU pinning for the scaling bench (SPARK_GRAFT_PIN=1).
+
+    Round-2 verdict: the 1-executor N baseline was structurally flattered
+    ~12% because the driver JVM is a FREE extra process for it (6.7 busy
+    cores against a 6-core executor allocation), while at 4N the same driver
+    is amortized over 4 executors. Fix per the verdict: give the DRIVER ITS
+    OWN fixed cores at BOTH cluster sizes and cap executors at exactly their
+    allocation — cores 0..n_driver_cores-1 = python driver + driver JVM +
+    standalone Worker daemons; cores n_driver_cores.. = executor backends
+    (python UDF workers fork from executors and inherit their affinity)."""
+    try:
+        driver_set = set(range(n_driver_cores))
+        exec_set = set(range(n_driver_cores, n_driver_cores + n_exec_cores))
+        me = os.getpid()
+        os.sched_setaffinity(me, driver_set)
+        pinned = {"driver": [me], "exec": [], "cores_exec": sorted(exec_set)}
+        for pid_s in os.listdir("/proc"):
+            if not pid_s.isdigit():
+                continue
+            pid = int(pid_s)
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().decode(errors="replace")
+            except OSError:
+                continue
+            if "CoarseGrainedExecutorBackend" in cmd:
+                os.sched_setaffinity(pid, exec_set)
+                pinned["exec"].append(pid)
+            elif "deploy.worker.Worker" in cmd or "SparkSubmit" in cmd:
+                os.sched_setaffinity(pid, driver_set)
+                pinned["driver"].append(pid)
+        return pinned
+    except OSError as e:
+        sys.stderr.write(f"core pinning failed: {e}\n")
+        return None
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from tiledspark import synth, tiles  # noqa: E402
@@ -86,8 +124,31 @@ def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SRC", "file")
     zones_path = synth.ensure_zones(BENCH_CACHE)
 
-    spark = get_spark(master=master, app_name="tiledspark-bench")
+    # Shuffle partitions should track DATA SIZE, not core count: the default
+    # (cores) gives the 1-executor N baseline six ~2.7M-row window-shuffle
+    # tasks at 16M pages — measured Java-heap OOM. A fixed count at both
+    # cluster sizes also keeps the logical plan identical across N and 4N.
+    shuffle_env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    spark = get_spark(
+        master=master,
+        app_name="tiledspark-bench",
+        shuffle_partitions=int(shuffle_env) if shuffle_env else None,
+    )
     timings: dict[str, float] = {}
+
+    pinned = None
+    if os.environ.get("SPARK_GRAFT_PIN", "0") == "1":
+        if master.startswith("local-cluster"):
+            w, c, _ = master[master.find("[") + 1 : master.find("]")].split(",")
+            # task-slot cores + 1 core per executor JVM for GC/netty/python
+            # daemon threads: pinning to EXACTLY the slot count starves GC
+            # under the window shuffle (measured: executor exit code 52 = JVM
+            # OOM at 16M pages). The N:4N CPU ratio stays exactly 1:4.
+            n_exec_cores = int(w) * int(c) + int(w)
+        else:
+            n_exec_cores = cpus
+        pinned = _pin_cores(n_exec_cores)  # before warmup: python UDF workers
+        # fork from executors afterwards and inherit the executor affinity
 
     if src == "expr":
         pages = synth.pages_df(spark, n_pages)
@@ -165,6 +226,46 @@ def main() -> None:
     queries = build_queries()
     for name in ("agg_hash_basic", "join_inner_hash", "window_frame_agg", "join_range"):
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())
+
+    # --- amortization evidence (SPARK_GRAFT_AMORTIZE=1; round-2 verdict 4b):
+    # agg_hash_basic/join_inner_hash run on FIXED sub-second sf inputs and got
+    # *slower* at 4N (coordination-dominated). The same shapes at ~40x the
+    # rows show whether they amortize — input generated in-executor so the
+    # shared disk is not the bottleneck.
+    if os.environ.get("SPARK_GRAFT_AMORTIZE", "0") == "1":
+        def _agg_hash_big():
+            n = 60_000_000
+            df = spark.range(n).select(
+                (F.col("id") % 25).alias("k1"),
+                (F.col("id") % 7).alias("k2"),
+                (F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(100000))
+                 .cast("double") / 100.0).alias("v"),
+            )
+            return (
+                df.groupBy("k1", "k2")
+                .agg(F.sum("v"), F.avg("v"), F.count(F.lit(1)))
+                .count()
+            )
+
+        def _join_inner_big():
+            n, nd = 60_000_000, 2_000_000
+            facts = spark.range(n).select(
+                (F.col("id") % nd).alias("key"),
+                (F.col("id") % 97).alias("v"),
+            )
+            dims = spark.range(nd).select(
+                F.col("id").alias("key"),
+                (F.col("id") % 13).alias("grp"),
+            )
+            return (
+                facts.join(dims, "key")
+                .groupBy("grp")
+                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
+                .count()
+            )
+
+        timed("agg_hash_40x", _agg_hash_big)
+        timed("join_inner_40x", _join_inner_big)
 
     # --- training-data pipeline headliners
     for name in ("dedup_exact", "dedup_minhash_lsh", "vector_topk_bruteforce", "ann_lsh_topk"):
@@ -281,6 +382,12 @@ def main() -> None:
     }
     if snapshot_diff_layers:
         result["snapshot_diff_layers"] = snapshot_diff_layers
+    if pinned is not None:
+        result["pinned"] = {
+            "n_exec_pids": len(pinned["exec"]),
+            "n_driver_pids": len(pinned["driver"]),
+            "exec_cores": len(pinned["cores_exec"]),
+        }
     print(json.dumps(result))
 
 
