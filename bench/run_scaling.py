@@ -99,6 +99,16 @@ def main() -> None:
     ap.add_argument("--pin", type=int, default=1,
                     help="fair-share core pinning (driver on its own 2 cores "
                          "at both sizes; executors on exactly 7/28)")
+    ap.add_argument("--shuffle", type=int, default=96,
+                    help="shuffle partitions at BOTH cluster sizes (sized to "
+                         "data: ~170k rows/partition at 16M pages; the "
+                         "cores-derived default gives the N=1 baseline "
+                         "2.7M-row tasks -> measured heap OOM)")
+    ap.add_argument("--advisory", default="16m",
+                    help="AQE advisory partition size at BOTH sizes (64m "
+                         "coalesces mid-size post-shuffle stages below the "
+                         "4N core count and packs partitions the 8GB N "
+                         "executor cannot hold at 32M pages)")
     ap.add_argument("--snapdiff", type=int, default=5,
                     help="diff layers applied in the snapshot-stack stage of "
                          "the first file-corpus run per cluster size")
@@ -118,7 +128,11 @@ def main() -> None:
             key = (src, master)
             results[key] = []
             for i in range(runs):
-                extra = {"SPARK_GRAFT_PIN": str(args.pin)}
+                extra = {
+                    "SPARK_GRAFT_PIN": str(args.pin),
+                    "SPARK_GRAFT_SHUFFLE": str(args.shuffle),
+                    "SPARK_GRAFT_ADVISORY": args.advisory,
+                }
                 if i == 0 and src == "expr" and args.amortize:
                     extra["SPARK_GRAFT_AMORTIZE"] = "1"
                 if i == 0 and src == "file" and args.snapdiff:

@@ -61,6 +61,11 @@ def get_spark(
         os.environ.setdefault("SPARK_HOME", "/opt/spark-4.1.2-bin-hadoop3")
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         b = b.config("spark.executorEnv.PYTHONPATH", repo_root)
+    # bench experiments: semicolon-separated k=v pairs, applied last
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
