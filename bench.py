@@ -234,21 +234,23 @@ def main() -> None:
     # shared disk is not the bottleneck.
     if os.environ.get("SPARK_GRAFT_AMORTIZE", "0") == "1":
         def _agg_hash_big():
-            n = 60_000_000
+            # high-cardinality keys (20M groups) so the agg has a REAL
+            # shuffle: low-cardinality modulo keys collapse map-side and the
+            # whole job stays sub-second (measured 0.47s at 60M rows —
+            # still coordination-dominated, proving nothing)
+            n = 200_000_000
             df = spark.range(n).select(
-                (F.col("id") % 25).alias("k1"),
-                (F.col("id") % 7).alias("k2"),
-                (F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(100000))
-                 .cast("double") / 100.0).alias("v"),
+                F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(20_000_000)).alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
             )
             return (
-                df.groupBy("k1", "k2")
-                .agg(F.sum("v"), F.avg("v"), F.count(F.lit(1)))
+                df.groupBy("k")
+                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
                 .count()
             )
 
         def _join_inner_big():
-            n, nd = 60_000_000, 2_000_000
+            n, nd = 120_000_000, 4_000_000
             facts = spark.range(n).select(
                 (F.col("id") % nd).alias("key"),
                 (F.col("id") % 97).alias("v"),
@@ -264,8 +266,8 @@ def main() -> None:
                 .count()
             )
 
-        timed("agg_hash_40x", _agg_hash_big)
-        timed("join_inner_40x", _join_inner_big)
+        timed("agg_hash_big", _agg_hash_big)
+        timed("join_inner_big", _join_inner_big)
 
     # --- training-data pipeline headliners
     for name in ("dedup_exact", "dedup_minhash_lsh", "vector_topk_bruteforce", "ann_lsh_topk"):

@@ -113,7 +113,7 @@ def main() -> None:
                     help="diff layers applied in the snapshot-stack stage of "
                          "the first file-corpus run per cluster size")
     ap.add_argument("--amortize", type=int, default=1,
-                    help="run the 60M-row agg/join amortization stages on "
+                    help="run the in-executor agg/join amortization stages on "
                          "the first expr run per cluster size")
     args = ap.parse_args()
 
@@ -230,16 +230,18 @@ def main() -> None:
     # --- amortization addendum (verdict r2 4b): the sub-second sf-table
     # queries regressed at 4N; the same shapes at 60M in-executor rows
     rn0, r40 = results[("expr", m_n)][0], results[("expr", m_4n)][0]
-    am_keys = [k for k in ("agg_hash_40x", "join_inner_40x") if k in rn0["queries"]]
+    am_keys = [k for k in ("agg_hash_big", "join_inner_big") if k in rn0["queries"]]
     if am_keys:
         lines += [
-            "## Amortization: the sub-second queries at 40× input",
+            "## Amortization: the sub-second queries at scale-up input",
             "",
             "`agg_hash_basic` (0.5s, sf0.1 parquet) and `join_inner_hash` ran",
             "*slower* at 4N in round 2 — fixed-size coordination-dominated",
-            "jobs. The same shapes over 60M in-executor-generated rows:",
+            "jobs. The same shapes with a real shuffle: 200M rows into 20M",
+            "groups (agg), 120M facts joined to a 4M-row dim (join), all",
+            "generated in-executor:",
             "",
-            "| query (60M rows) | N (s) | 4N (s) | speedup |",
+            "| query | N (s) | 4N (s) | speedup |",
             "| --- | --- | --- | --- |",
         ] + [
             f"| {k} | {rn0['queries'][k]:.3f} | {r40['queries'][k]:.3f} "
