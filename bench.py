@@ -227,48 +227,6 @@ def main() -> None:
     for name in ("agg_hash_basic", "join_inner_hash", "window_frame_agg", "join_range"):
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())
 
-    # --- amortization evidence (SPARK_GRAFT_AMORTIZE=1; round-2 verdict 4b):
-    # agg_hash_basic/join_inner_hash run on FIXED sub-second sf inputs and got
-    # *slower* at 4N (coordination-dominated). The same shapes at ~40x the
-    # rows show whether they amortize — input generated in-executor so the
-    # shared disk is not the bottleneck.
-    if os.environ.get("SPARK_GRAFT_AMORTIZE", "0") == "1":
-        def _agg_hash_big():
-            # high-cardinality keys (20M groups) so the agg has a REAL
-            # shuffle: low-cardinality modulo keys collapse map-side and the
-            # whole job stays sub-second (measured 0.47s at 60M rows —
-            # still coordination-dominated, proving nothing)
-            n = 200_000_000
-            df = spark.range(n).select(
-                F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(20_000_000)).alias("k"),
-                (F.col("id") % 97).cast("double").alias("v"),
-            )
-            return (
-                df.groupBy("k")
-                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
-                .count()
-            )
-
-        def _join_inner_big():
-            n, nd = 120_000_000, 4_000_000
-            facts = spark.range(n).select(
-                (F.col("id") % nd).alias("key"),
-                (F.col("id") % 97).alias("v"),
-            )
-            dims = spark.range(nd).select(
-                F.col("id").alias("key"),
-                (F.col("id") % 13).alias("grp"),
-            )
-            return (
-                facts.join(dims, "key")
-                .groupBy("grp")
-                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
-                .count()
-            )
-
-        timed("agg_hash_big", _agg_hash_big)
-        timed("join_inner_big", _join_inner_big)
-
     # --- training-data pipeline headliners
     for name in ("dedup_exact", "dedup_minhash_lsh", "vector_topk_bruteforce", "ann_lsh_topk"):
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())
@@ -362,6 +320,53 @@ def main() -> None:
     timed("snapshot_commit", _commit)
     if n_diff_layers:
         timed("snapshot_diff_stack", _diff_stack)
+
+    docs.unpersist()
+
+    # --- amortization evidence (SPARK_GRAFT_AMORTIZE=1; round-2 verdict 4b):
+    # LAST, after docs.unpersist(): the in-executor 100M+ row shuffles need
+    # the heap the doc cache was holding (measured executor OOM at N when
+    # this ran with the cache resident).
+    # agg_hash_basic/join_inner_hash run on FIXED sub-second sf inputs and got
+    # *slower* at 4N (coordination-dominated). The same shapes at ~40x the
+    # rows show whether they amortize — input generated in-executor so the
+    # shared disk is not the bottleneck.
+    if os.environ.get("SPARK_GRAFT_AMORTIZE", "0") == "1":
+        def _agg_hash_big():
+            # high-cardinality keys (20M groups) so the agg has a REAL
+            # shuffle: low-cardinality modulo keys collapse map-side and the
+            # whole job stays sub-second (measured 0.47s at 60M rows —
+            # still coordination-dominated, proving nothing)
+            n = 200_000_000
+            df = spark.range(n).select(
+                F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(20_000_000)).alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            )
+            return (
+                df.groupBy("k")
+                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
+                .count()
+            )
+
+        def _join_inner_big():
+            n, nd = 120_000_000, 4_000_000
+            facts = spark.range(n).select(
+                (F.col("id") % nd).alias("key"),
+                (F.col("id") % 97).alias("v"),
+            )
+            dims = spark.range(nd).select(
+                F.col("id").alias("key"),
+                (F.col("id") % 13).alias("grp"),
+            )
+            return (
+                facts.join(dims, "key")
+                .groupBy("grp")
+                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
+                .count()
+            )
+
+        timed("agg_hash_big", _agg_hash_big)
+        timed("join_inner_big", _join_inner_big)
 
     pipeline_sec = timings["tile_build"] + timings["tile_tree"] + timings["spatial_join"]
     cpu_busy = round(_cpu_busy_sec() - cpu0, 1)

@@ -214,6 +214,21 @@ def test_simhash_exact_mode_max_hamming_zero(spark):
     assert len(got) == 1 and (got.iloc[0]["id_a"], got.iloc[0]["id_b"]) == (1, 2)
 
 
+def test_simhash_block_exchange_carries_narrow_rows(spark):
+    """The blocking shuffle must carry only (bk, _id, simhash) — never text
+    or token arrays (the simhash is computed before the exchange and is one
+    long; the pairs join re-derives nothing)."""
+    from tiledspark.textops import simhash_near_pairs
+
+    df = _corpus(spark)
+    pairs = simhash_near_pairs(df, "doc_id", max_hamming=8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            head = line.split("Exchange hashpartitioning", 1)[1][:120]
+            assert "text" not in head and "tok" not in head, line
+
+
 def test_lsh_capped_buckets_report(spark):
     from tiledspark.textops import lsh_capped_buckets
 
