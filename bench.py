@@ -321,7 +321,7 @@ def main() -> None:
     if n_diff_layers:
         timed("snapshot_diff_stack", _diff_stack)
 
-    docs.unpersist()
+    docs.unpersist(blocking=True)  # release the cache BEFORE the 100M-row stages
 
     # --- amortization evidence (SPARK_GRAFT_AMORTIZE=1; round-2 verdict 4b):
     # LAST, after docs.unpersist(): the in-executor 100M+ row shuffles need
@@ -335,11 +335,11 @@ def main() -> None:
         def _agg_hash_big():
             # high-cardinality keys (20M groups) so the agg has a REAL
             # shuffle: low-cardinality modulo keys collapse map-side and the
-            # whole job stays sub-second (measured 0.47s at 60M rows —
-            # still coordination-dominated, proving nothing)
-            n = 200_000_000
+            # whole job stays sub-second (measured 0.47s at 60M rows
+            # with 175 modulo groups — still coordination-dominated)
+            n = 100_000_000
             df = spark.range(n).select(
-                F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(20_000_000)).alias("k"),
+                F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(10_000_000)).alias("k"),
                 (F.col("id") % 97).cast("double").alias("v"),
             )
             return (
