@@ -115,6 +115,7 @@ def main() -> None:
                          "the first expr run per cluster size")
     args = ap.parse_args()
 
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     masters = (args.master_n, args.master_4n)
     plans = [
         ("expr", args.pages_n_expr, args.runs),
@@ -141,41 +142,44 @@ def main() -> None:
                         r = run_once(master, args.sf_dir, pages_n, src, extra)
                         break
                     except RuntimeError as e:
-                        has_optional = any(
-                            k in extra
-                            for k in ("SPARK_GRAFT_AMORTIZE", "SPARK_GRAFT_SNAPDIFF")
-                        )
-                        if "DETERMINISTIC" in str(e) and has_optional:
-                            # an optional addendum stage killed the run (e.g.
-                            # OOM): drop the optional stages and keep the core
-                            # suite — the addendum section is simply omitted
+                        # After ANY failure, drop the optional addendum stages
+                        # (their OOMs are the usual culprit) and retry the
+                        # core run — host memory state varies run-to-run, so
+                        # even 'deterministic' OOMs are worth one more try.
+                        if any(k in extra for k in
+                               ("SPARK_GRAFT_AMORTIZE", "SPARK_GRAFT_SNAPDIFF")):
                             print(
-                                f"[{src}] {master} run {i + 1}: optional stage "
-                                "failed deterministically; retrying without "
-                                "amortize/snapdiff stages",
+                                f"[{src}] {master} run {i + 1}: failed with "
+                                "optional stages on; retrying without them",
                                 flush=True,
                             )
                             extra.pop("SPARK_GRAFT_AMORTIZE", None)
                             extra.pop("SPARK_GRAFT_SNAPDIFF", None)
-                            time.sleep(15)
-                            continue
-                        if "DETERMINISTIC" in str(e):
-                            raise  # retrying a deterministic failure wastes 3x the timeout
-                        print(
-                            f"[{src}] {master} run {i + 1} attempt {attempt + 1} "
-                            f"failed: {e}; cooling down",
-                            flush=True,
-                        )
-                        time.sleep(15)
+                        else:
+                            print(
+                                f"[{src}] {master} run {i + 1} attempt "
+                                f"{attempt + 1} failed: {str(e)[:200]}; cooling down",
+                                flush=True,
+                            )
+                        time.sleep(20)
                 if r is None:
-                    raise RuntimeError(f"[{src}] {master} run {i + 1}: 3 attempts failed")
+                    print(
+                        f"[{src}] {master} run {i + 1}: 3 attempts failed; "
+                        "recording the runs that DID succeed",
+                        flush=True,
+                    )
+                    continue
                 time.sleep(10)  # let ports/memory drain between JVM clusters
                 results[key].append(r)
+                with open(os.path.join(REPO, "BENCH", "runs_r3.jsonl"), "a") as f:
+                    f.write(json.dumps(r) + "\n")
                 print(
                     f"[{src}] {master} run {i + 1}/{runs}: "
                     f"pipeline={pipeline_sec(r):.1f}s docs/s={r['docs_per_sec']}",
                     flush=True,
                 )
+            if not results[key]:
+                raise RuntimeError(f"[{src}] {master}: every run failed")
 
     m_n, m_4n = masters
     lines = [
