@@ -154,6 +154,7 @@ def knn_cell_ring(
         q0 = q0.withColumn("r", F.lit(1))
 
     resolved_parts: list[DataFrame] = []
+    straggler_parts: list[DataFrame] = []
     # eager localCheckpoint: cuts lineage AND materializes, so take(1) and
     # the next round's joins read the materialized frontier, not the DAG
     # (q0 itself is checkpointed so the density pre-pass runs exactly once)
@@ -237,23 +238,18 @@ def knn_cell_ring(
             .select("query_id", "rank", F.col("_dk").alias(doc_key), "dist_m")
             .localCheckpoint(eager=True)
         )
-        # survivors that already explored max_radius exit to brute force
-        unresolved = (
-            unresolved.join(done_ids, "query_id", "left_anti")
-            .where(F.col("r") < max_radius)
-            .withColumn(
-                "r", F.least(F.col("r") * 2, F.lit(max_radius)).cast("int")
-            )
-            .localCheckpoint(eager=True)
+        # survivors that already explored max_radius exit to brute force;
+        # the rest double their radius and continue
+        survivors = unresolved.join(done_ids, "query_id", "left_anti").localCheckpoint(
+            eager=True
         )
-    # anything the loop never resolved (incl. r==max_radius exits)
-    unresolved = q0.join(
-        _union_all([p.select("query_id") for p in resolved_parts])
-        if resolved_parts
-        else q0.select("query_id").limit(0),
-        "query_id",
-        "left_anti",
-    ).localCheckpoint(eager=True)
+        straggler_parts.append(survivors.where(F.col("r") >= max_radius))
+        unresolved = survivors.where(F.col("r") < max_radius).withColumn(
+            "r", F.least(F.col("r") * 2, F.lit(max_radius)).cast("int")
+        )
+    # anything the loop never resolved: max-radius exits + loop-exhausted
+    straggler_parts.append(unresolved)
+    unresolved = _union_all(straggler_parts)
 
     # stragglers: brute force (queries side is tiny by now)
     if unresolved.take(1):
