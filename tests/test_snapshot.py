@@ -96,6 +96,63 @@ def test_apply_diff_copy_on_write_and_moves(spark, pages_path, store):
     after.unpersist()
 
 
+def _delta_from_batch(spark, pages_path, batch_idx):
+    path = synth.ensure_diff_batches(
+        os.path.join(os.path.dirname(pages_path)), 5_000, n_batches=batch_idx + 1
+    )[batch_idx]
+    raw = spark.read.parquet(path)
+    return extract_coords(raw).withColumn(
+        "tile_id",
+        F.when(
+            F.col("lat").isNotNull(),
+            tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE),
+        ).otherwise(F.lit(0)),
+    ).select("url", "warc_ts", "text", "lang", "lat", "lon", "tile_id", "op")
+
+
+def test_squash_flattens_diff_layers(spark, pages_path, store):
+    """Op 9 (snapshot_squash — tiled-db's OsmTiledDbSnapshot flatten): after
+    two copy-on-write diff layers, squash must produce a single fully-
+    rewritten layer with (a) content identical to the layered read, (b) NO
+    carried files, (c) a rebuilt key index that still serves point lookups,
+    while (d) time travel to the pre-squash layers still resolves."""
+    base = _doc_tiles(spark, pages_path)
+    store.commit(base, key_col="tile_id", index_key="url")
+    sid2 = store.apply_diff(
+        spark, _delta_from_batch(spark, pages_path, 0), row_key="url"
+    )
+    sid3 = store.apply_diff(
+        spark, _delta_from_batch(spark, pages_path, 1), row_key="url"
+    )
+    layered = store.read(spark).select("url", "warc_ts", "text").cache()
+    n_layered = layered.count()
+
+    sid4 = store.squash(spark)
+    m4 = store.manifest(sid4)
+    assert m4["tag"] == "squash" and sid4 > sid3
+    # single fully-rewritten layer: nothing carried by reference
+    assert m4["lineage"]["carried_partitions"] == []
+    assert all(f["path"].startswith(f"data/{sid4:08d}") for f in m4["files"])
+    # content identical to the layered view (set equality both directions)
+    squashed = store.read(spark, sid4).select("url", "warc_ts", "text")
+    assert squashed.exceptAll(layered).count() == 0
+    assert layered.exceptAll(squashed).count() == 0
+    assert squashed.count() == n_layered
+    # rebuilt index serves point lookups on a row upserted by diff 2
+    moved = (
+        _delta_from_batch(spark, pages_path, 1)
+        .where(F.col("op") == "upsert")
+        .select("url", "text")
+        .collect()[0]
+    )
+    hit = store.get_by_key(spark, moved["url"]).collect()
+    assert len(hit) == 1 and hit[0]["text"] == moved["text"]
+    # pre-squash history still resolves as-of each layer
+    assert store.time_travel(spark, sid2).count() > 0
+    assert store.time_travel(spark, sid3).count() == n_layered
+    layered.unpersist()
+
+
 def test_checkpointed_build_resumes(spark, pages_path, store):
     pages = spark.read.parquet(pages_path)
     docs = dedupe_latest_by_url(extract_coords(pages))
