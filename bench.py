@@ -34,6 +34,27 @@ def _cpu_busy_sec() -> float:
     except (OSError, ValueError, IndexError):
         return float("nan")
 
+def _host_idle_check(window_sec: float = 0.5) -> dict:
+    """VERDICT r3 #8: cross-round BENCH files are only comparable if the host
+    was idle at start. Sample /proc/stat over a short window BEFORE Spark
+    launches and report busy-core count + 1-min loadavg; runs are annotated
+    (not refused — the driver must still get its number) so a hot-host run
+    is self-identifying."""
+    try:
+        b0, t0 = _cpu_busy_sec(), time.perf_counter()
+        time.sleep(window_sec)
+        busy_cores = (_cpu_busy_sec() - b0) / (time.perf_counter() - t0)
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        return {
+            "busy_cores_at_start": round(busy_cores, 2),
+            "loadavg_1m": load1,
+            "idle": busy_cores < 2.0 and load1 < 2.0,
+        }
+    except (OSError, ValueError):
+        return {"busy_cores_at_start": None, "loadavg_1m": None, "idle": None}
+
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
@@ -108,6 +129,7 @@ def _warmup(spark, pages, zones_path: str) -> None:
 
 
 def main() -> None:
+    idle_check = _host_idle_check()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
@@ -386,6 +408,7 @@ def main() -> None:
         "cpu_util_cores": round(cpu_busy / total, 2) if total else None,
         "master": master,
         "src": src,
+        "host_idle_check": idle_check,
     }
     if snapshot_diff_layers:
         result["snapshot_diff_layers"] = snapshot_diff_layers

@@ -219,3 +219,104 @@ def test_point_lookups_open_one_bucket_only(spark, tmp_path, pages_path):
 
     # a bucket scan is a strict subset of the snapshot's files
     assert set(tile_files) < set(full.inputFiles())
+
+
+def test_point_lookup_numeric_bigint_key(spark, tmp_path):
+    """ADVICE r3: xxhash64 is type-sensitive and F.lit(small int) is
+    IntegerType — a bigint index_key used to hash into the WRONG ibucket and
+    tiles_for_key/get_by_key silently returned empty. The manifest now records
+    index_key_type and the lookup casts its literal to it."""
+    store = SnapshotStore(str(tmp_path / "nstore"), n_buckets=8)
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),  # bigint row key
+        (F.col("id") % 37).alias("tile_id"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("text"),
+    )
+    store.commit(df, key_col="tile_id", index_key="doc_id")
+    assert store.manifest()["index_key_type"] == "bigint"
+    for key in (0, 123, 499):  # plain python ints, as a caller would pass
+        idx = store.tiles_for_key(spark, key).collect()
+        assert {r["tbucket"] for r in idx} == {key % 37 % 8}, key
+        rows = store.get_by_key(spark, key).collect()
+        assert len(rows) == 1 and rows[0]["text"] == f"payload-{key}"
+
+
+def test_find_tag_miss_authoritative_and_legacy_backfill(spark, tmp_path):
+    """ADVICE r3: tags.json must be authoritative for MISSES (the streaming
+    idempotence probe misses on every normal batch) — fresh stores seed it at
+    creation; legacy stores (no tags.json) get one scan + backfill, after
+    which misses never rescan the manifest list."""
+    root = str(tmp_path / "tstore")
+    store = SnapshotStore(root, n_buckets=4)
+    assert os.path.exists(os.path.join(root, "tags.json")), "seeded at creation"
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("tile_id")
+    )
+    s1 = store.commit(df, key_col="tile_id", tag="t1")
+    store.commit(df, key_col="tile_id", tag="t2")
+    assert store.find_tag("t1") == s1
+    assert store.find_tag("never-written") is None
+
+    # legacy store: drop tags.json, then a MISS must backfill it once
+    os.remove(os.path.join(root, "tags.json"))
+    legacy = SnapshotStore(root, n_buckets=4)  # reopen: must NOT re-seed empty
+    assert not os.path.exists(os.path.join(root, "tags.json"))
+    assert legacy.find_tag("never-written") is None
+    assert os.path.exists(os.path.join(root, "tags.json")), "backfilled on miss"
+    import json as _json
+
+    with open(os.path.join(root, "tags.json")) as f:
+        assert _json.load(f) == {"t1": 1, "t2": 2}
+    assert legacy.find_tag("t1") == s1
+
+
+def test_apply_diff_legacy_monolithic_index(spark, tmp_path):
+    """ADVICE r3: a legacy manifest carries index_path (one monolithic index
+    dir), not index_files. apply_diff must USE it for the old-bucket lookup —
+    not degrade to index_missing_full_rewrite — and upgrade it to the
+    ibucket-partitioned form; tiles_for_key must serve from it unpruned."""
+    import json as _json
+
+    root = str(tmp_path / "lstore")
+    store = SnapshotStore(root, n_buckets=8)
+    df = spark.range(400).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        (F.col("id") % 29).alias("tile_id"),
+        F.concat(F.lit("v0-"), F.col("id")).alias("text"),
+    )
+    sid = store.commit(df, key_col="tile_id", index_key="url")
+    # doctor the manifest into the legacy shape: monolithic index dir
+    m = store.manifest(sid)
+    legacy_idx = os.path.join("data", f"{sid:08d}", "_legacyindex")
+    df.select(
+        "url", F.pmod(F.col("tile_id"), F.lit(8)).cast("int").alias("tbucket")
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, legacy_idx))
+    m["index_path"] = legacy_idx
+    m["index_files"] = []
+    del m["index_key_type"]  # legacy manifests predate this field too
+    with open(store._manifest_path(sid), "w") as f:
+        _json.dump(m, f)
+
+    # point lookup falls back to the monolithic index (unpruned but correct)
+    rows = store.tiles_for_key(spark, "u7").collect()
+    assert {r["tbucket"] for r in rows} == {7 % 29 % 8}
+
+    # a diff that MOVES u7 (tile 29->3) and deletes u8 must locate old buckets
+    delta = spark.createDataFrame(
+        [("u7", 3, "v1-7", "upsert"), ("u8", 0, None, "delete")],
+        "url string, tile_id long, text string, op string",
+    )
+    sid2 = store.apply_diff(spark, delta, row_key="url", key_col="tile_id")
+    m2 = store.manifest(sid2)
+    assert not m2["diff"]["index_missing_full_rewrite"]
+    assert m2["diff"]["n_carried_files"] > 0, "legacy index still enables CoW"
+    assert m2["index_files"] and all(
+        f["partition"].startswith("ibucket=") for f in m2["index_files"]
+    ), "upgraded to partitioned index"
+    after = store.read(spark)
+    got = {r["url"]: r["text"] for r in after.where(F.col("url").isin("u7", "u8")).collect()}
+    assert got == {"u7": "v1-7"}
+    assert after.groupBy("url").count().where(F.col("count") > 1).count() == 0
+    # post-upgrade pruned lookup works
+    hit = store.get_by_key(spark, "u7").collect()
+    assert len(hit) == 1 and hit[0]["text"] == "v1-7"

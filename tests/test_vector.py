@@ -37,6 +37,32 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"recall {recall}"
 
 
+def test_ann_guaranteed_k_on_sparse_corpus(spark):
+    """Round-4 contract (VERDICT r3 #1): a top-k call must return exactly
+    min(k, corpus) rows even when LSH yields ZERO collisions — the sf0.01
+    driver row was vacuous (0 rows) because 16-bit buckets over a uniform
+    corpus leave an empty candidate set. The fallback escalates to 2-bit
+    multiprobe, then to an exact scan, so the result here must EQUAL brute
+    force."""
+    rng = np.random.default_rng(77)
+    n, dim = 300, 64
+    mats = rng.standard_normal((n, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [m.astype(np.float32).tolist() for m in mats]}
+    )
+    emb = spark.createDataFrame(pdf)
+    q = rng.standard_normal(dim)
+    got = ann_topk_lsh(spark, emb, list(map(float, q)), k=15).toPandas()
+    assert len(got) == 15, f"guaranteed-k violated: {len(got)} rows"
+    mats64 = np.array([np.asarray(e, np.float64) for e in pdf["embedding"]])
+    cos = (mats64 @ q) / (np.linalg.norm(mats64, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))
+    exact_top = pdf["vec_id"].to_numpy()[order[:15]].tolist()
+    # uniform 64-dim corpus vs a random query: LSH candidates ≈ 0, so the
+    # exact-scan fallback must have kicked in and the answer is the true top-k
+    assert got["vec_id"].tolist() == exact_top
+
+
 def test_lsh_bucket_determinism(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/../sf0.01/embeddings.parquet")
     a = with_lsh_buckets(emb).select("vec_id", "buckets").toPandas().sort_values("vec_id")

@@ -46,6 +46,15 @@ class SnapshotStore:
         self.n_buckets = n_buckets
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        # Seed tags.json on a FRESH store so find_tag misses are O(1) from the
+        # first commit (ADVICE r3). Existing stores without one are legacy:
+        # find_tag backfills them on its first miss.
+        tp = os.path.join(root, "tags.json")
+        if not os.path.exists(tp) and not self.snapshots():
+            tmp = tp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({}, f)
+            os.replace(tmp, tp)
 
     # --- manifest plumbing ---------------------------------------------------
 
@@ -143,18 +152,31 @@ class SnapshotStore:
             spark = df.sparkSession
             idx_dir = os.path.join(data_dir, "_keyindex")
             if index_df is None:
-                # full rebuild over this snapshot's complete logical content
-                # (new + carried LEAF files; column-pruned scan)
-                leaf_paths = [
-                    os.path.join(self.root, f["path"])
-                    for f in new_files + (carried_files or [])
-                ]
-                index_df = spark.read.parquet(*leaf_paths).select(
+                # Round-4 fix (VERDICT r3 "what's wrong" #3): derive the new
+                # rows' index entries from the IN-FLIGHT df — it already has
+                # both key columns — instead of re-reading the leaf files we
+                # wrote two statements ago (at 100 TB that read-back is a
+                # full-table scan per commit). Carried files (copy-on-write,
+                # not present in df) still need a read, but it's a
+                # 2-column-pruned scan of only the carried subset.
+                index_df = df.select(
                     F.col(index_key),
                     F.pmod(F.col(key_col), F.lit(self.n_buckets))
                     .cast("int")
                     .alias("tbucket"),
                 )
+                if carried_files:
+                    carried_paths = [
+                        os.path.join(self.root, f["path"]) for f in carried_files
+                    ]
+                    index_df = index_df.unionByName(
+                        spark.read.parquet(*carried_paths).select(
+                            F.col(index_key),
+                            F.pmod(F.col(key_col), F.lit(self.n_buckets))
+                            .cast("int")
+                            .alias("tbucket"),
+                        )
+                    )
                 carried_index_files = None
             (
                 index_df.withColumn("ibucket", self._index_bucket_expr(F.col(index_key)))
@@ -167,12 +189,19 @@ class SnapshotStore:
                 idx_dir, "ibucket=*"
             )
         files = (carried_files or []) + new_files
+        # Record the index key's Spark type: Spark hash functions are
+        # type-sensitive (int vs bigint hash differently), so point lookups
+        # must cast their literal to THIS type before hashing (ADVICE r3).
+        index_key_type = (
+            df.schema[index_key].dataType.simpleString() if index_key is not None else None
+        )
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent if parent is not None else self.latest_id(),
             "tag": tag,
             "key_col": key_col,
             "index_key": index_key,
+            "index_key_type": index_key_type,
             "index_files": index_files,
             "n_buckets": self.n_buckets,
             "files": files,
@@ -251,14 +280,28 @@ class SnapshotStore:
         os.replace(tmp, self._tags_path())
 
     def find_tag(self, tag: str) -> int | None:
-        hit = self._load_tags().get(tag)
-        if hit is not None:
-            return hit
-        # legacy stores written before tags.json existed: one linear scan
+        """O(1) both ways (ADVICE r3): tags.json is AUTHORITATIVE for misses
+        too — it is seeded at store creation and backfilled exactly once for
+        legacy stores, so the per-micro-batch idempotence probe in
+        stream_commit_diffs (a miss on every normal batch) never rescans the
+        manifest list."""
+        tags = self._load_tags()
+        if tag in tags:
+            return tags[tag]
+        if os.path.exists(self._tags_path()):
+            return None  # authoritative miss
+        # legacy store (manifests predate tags.json): one scan, then backfill
+        # the full mapping + write the file so every later miss is O(1)
+        found: dict[str, int] = {}
         for sid in self.snapshots():
-            if self.manifest(sid).get("tag") == tag:
-                return sid
-        return None
+            t = self.manifest(sid).get("tag")
+            if t is not None and t not in found:
+                found[t] = sid
+        tmp = self._tags_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(found, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._tags_path())
+        return found.get(tag)
 
     # --- point lookups (ops 10-12: the reference's Get / GetTile serving
     # surface, SURVEY.md §3.1 EP3) — each opens ONLY the matching bucket's
@@ -300,11 +343,23 @@ class SnapshotStore:
         ONLY the index partition the key hashes into (ibucket pruning)."""
         m = self.manifest(snapshot_id)
         if not m.get("index_files"):
+            if m.get("index_path"):  # legacy monolithic index (pre-ibucket
+                # stores, ADVICE r3): valid but unprunable — read it whole
+                idx = spark.read.parquet(os.path.join(self.root, m["index_path"]))
+                return idx.where(F.col(m["index_key"]) == key_value)
             raise ValueError(
                 "snapshot was committed without index_key; point lookups need it"
             )
+        # ADVICE r3: xxhash64 is TYPE-sensitive and F.lit(small python int)
+        # is IntegerType — for a bigint index_key the uncast literal would
+        # hash into the wrong ibucket and the lookup would silently return
+        # empty. Cast to the type the index was partitioned with.
+        key_lit = F.lit(key_value)
+        kt = m.get("index_key_type")
+        if kt:
+            key_lit = key_lit.cast(kt)
         ib = spark.range(1).select(
-            self._index_bucket_expr(F.lit(key_value)).alias("ib")
+            self._index_bucket_expr(key_lit).alias("ib")
         ).collect()[0]["ib"]
         paths = self._index_paths(m, {int(ib)})
         if not paths:
@@ -365,7 +420,27 @@ class SnapshotStore:
         index_missing_full_rewrite = False
         new_index_df: DataFrame | None = None
         carried_index_files: list[dict] | None = None
-        if base_m.get("index_files"):
+        if not base_m.get("index_files") and base_m.get("index_path"):
+            # Legacy monolithic index (pre-ibucket store, ADVICE r3): the
+            # index is valid, just unpartitioned — use it for the old-bucket
+            # lookup and rewrite it whole into ibucket-partitioned form (a
+            # one-time upgrade; later diffs get copy-on-write pruning).
+            row_key_c = F.col(row_key)
+            old_idx_all = spark.read.parquet(
+                os.path.join(self.root, base_m["index_path"])
+            )
+            delta_keys_all = delta.select(row_key_c).distinct()
+            old = old_idx_all.join(F.broadcast(delta_keys_all), row_key, "left_semi")
+            old_buckets = {
+                r["tbucket"] for r in old.select("tbucket").distinct().collect()
+            }
+            new_index_df = old_idx_all.join(
+                delta_keys_all, row_key, "left_anti"
+            ).unionByName(
+                delta.where(F.col(op_col) == "upsert").select(row_key_c, F.col("tbucket"))
+            )
+            carried_index_files = []
+        elif base_m.get("index_files"):
             delta_keys = (
                 delta.select(F.col(row_key))
                 .distinct()
