@@ -1,0 +1,71 @@
+"""End-to-end `spark-submit --py-files` packaging test (north_star: "The
+whole pipeline runs via spark-submit --py-files"; SURVEY.md §7 M8).
+
+The job process gets NO repo on its import path — `tiledspark` must arrive
+exclusively through the --py-files zip, exactly as it would on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import zipfile
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_zip(path: str) -> None:
+    """Same content rule as `make pyfiles` (zip -qr ... -x __pycache__)."""
+    pkg = os.path.join(REPO, "tiledspark")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, REPO))
+
+
+def test_spark_submit_py_files(tmp_path, pages_path, zones_path, spark):
+    zip_path = str(tmp_path / "tiledspark.zip")
+    _build_zip(zip_path)
+    store_root = str(tmp_path / "store")
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "build_tiles.py"),
+            "--pages", pages_path,
+            "--zones", zones_path,
+            "--store", store_root,
+            "--n-buckets", "8",
+        ],
+        cwd=str(tmp_path),  # NOT the repo: imports must come from the zip
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["tree_snapshot"] > 0 and result["join_snapshot"] > 0
+
+    # the committed artifacts are readable back and non-trivial
+    from tiledspark.snapshot import SnapshotStore
+
+    store = SnapshotStore(store_root)
+    assert store.find_tag("tile_tree") == result["tree_snapshot"]
+    tree = store.read(spark, result["tree_snapshot"])
+    assert tree.where(F.col("state") == "materialized").count() > 0
+    joined = store.read(spark, result["join_snapshot"])
+    assert joined.count() > 0
+    # resumable per-zoom snapshots all present
+    assert all(store.find_tag(f"tile_counts_zoom={z}") for z in result["zoom_snapshots"])
