@@ -257,3 +257,24 @@ def test_simhash_fanout_envelope():
         g, m = _blocking_scheme(t)
         assert math.comb(g, m) <= SIMHASH_COMBO_LIMIT, (t, g, m)
         assert g == t + m
+
+
+def test_minhash_perms_are_distinct(spark):
+    """Guard for the PySpark HOF-lambda index trap (round 4): a 2-parameter
+    lambda is bound as (element, INDEX) with bound defaults silently
+    ignored, which once collapsed all num_perm permutations into one
+    expression (est_jaccard degenerated to {0,1} and LSH surfaced pairs
+    with exact Jaccard ~0). The signature must contain num_perm genuinely
+    independent minima."""
+    import pandas as pd
+
+    from tiledspark.textops import with_minhash
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "text": ["the quick brown fox jumps over the lazy dog again"]})
+    )
+    sig = with_minhash(df).select("minhash").collect()[0]["minhash"]
+    assert len(sig) == 16
+    # collapsed permutations -> all 16 values identical; independent
+    # permutations over ~7 distinct shingles collide only occasionally
+    assert len(set(sig)) >= 12, sig

@@ -54,14 +54,38 @@ def shingles_expr(text: Column, k: int = 3) -> Column:
 
 def minhash_signature_expr(sh: Column, num_perm: int = DEFAULT_NUM_PERM) -> Column:
     """array<string> shingles -> array<long> minhash signature.
-    Permutation i = xxhash64(shingle || '\\x1f' || i); min over shingles."""
-    mins = [
-        F.array_min(
-            F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"\x1f{i}"))))
-        )
-        for i in range(num_perm)
-    ]
-    return F.array(*mins)
+
+    Round-4 hot-path fix: hash each shingle STRING exactly once
+    (h = xxhash64(shingle)), then derive permutation i as xxhash64(h, i) —
+    an 8-byte long re-hash — instead of the old xxhash64(shingle||sep||i),
+    which built and hashed num_perm string copies of every shingle. Same
+    independence properties (measured: argmin agreement across perms ≈ the
+    1/|set| independent baseline, Spearman ≈ 0), ~num_perm× less string
+    hashing.
+
+    ONE-PASS shape: num_perm separate array_min(transform(...)) arms would
+    re-evaluate the string-hash subtree per arm (Catalyst does not CSE
+    across higher-order-function arms — measured: no win). Instead a single
+    aggregate() traverses the shingles once, and for each shingle updates
+    all num_perm running minima via zip_with — per shingle: 1 string hash +
+    num_perm 8-byte hashes, in one expression tree.
+
+    HOF-lambda index trap (found while making this change): PySpark binds a
+    TWO-parameter lambda as (element, INDEX) and silently ignores bound
+    defaults — `lambda h, i=i:` receives the array index as i, collapsing
+    every permutation into the same expression. (The previous string-concat
+    form only escaped this because its f-string baked the index column's
+    auto-numbered repr into the literal — distinct by accident.) Inner
+    lambdas here take only genuine lambda variables; guarded by
+    test_minhash_perms_are_distinct."""
+    max_long = (1 << 63) - 1
+    hs = F.transform(sh, lambda s: F.xxhash64(s))
+    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    return F.aggregate(
+        hs,
+        F.array_repeat(F.lit(max_long), num_perm),
+        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
+    )
 
 
 def with_minhash(
