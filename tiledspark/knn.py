@@ -67,6 +67,7 @@ def knn_cell_ring(
     max_radius: int = 64,
     _round_plans: list | None = None,
     adaptive_start: bool = False,
+    growth: int = 4,
 ) -> DataFrame:
     """docs(lat, lon, <doc_key>), queries(query_id, lat, lon) ->
     (query_id, rank, <doc_key>, dist_m). Deterministic.
@@ -90,6 +91,17 @@ def knn_cell_ring(
     dense 600k-page corpus. OFF by default because the pre-pass costs one
     doc-scale aggregate — pure overhead for few-query calls; turn it on for
     large sparse query batches.
+
+    Round-4 (per-round cost): each round now runs the doc-side join EXACTLY
+    once (topk is the round's single eager checkpoint; resolved rows and
+    the done/survivor split derive from the materialized frame — the old
+    shape materialized the resolved subset AND re-ran the whole join+window
+    for the survivor stats, 2 doc-scale jobs per round). `growth` sets the
+    radius multiplier between rounds (default 4 → radii 1, 4, 16, 64): the
+    resolution rule is an exact per-round edge bound, so results are
+    identical for ANY growth factor — a larger factor trades a few more
+    candidate cells per round for proportionally fewer fixed-cost Spark
+    jobs, the dominant term for driver-loop rounds.
     """
     doc_cells = (
         docs.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
@@ -160,7 +172,7 @@ def knn_cell_ring(
     # (q0 itself is checkpointed so the density pre-pass runs exactly once)
     q0 = q0.localCheckpoint(eager=True)
     unresolved = q0
-    max_rounds = max(1, int(math.log2(max_radius)) + 1)
+    max_rounds = max(1, math.ceil(math.log(max_radius, growth)) + 1)
     for _ in range(max_rounds):
         if not unresolved.take(1):
             break
@@ -187,6 +199,8 @@ def knn_cell_ring(
             .drop("dy")
             .distinct()
         )
+        # the round's ONLY doc-scale job: everything below derives from this
+        # materialized frame (O(|unresolved| * k) rows)
         topk = (
             cand_cells.join(doc_cells, "cell")
             .withColumn(
@@ -200,6 +214,7 @@ def knn_cell_ring(
                 ),
             )
             .where(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
         )
         stats = topk.groupBy("query_id", "q_lat", "q_lon", "qx", "qy", "r").agg(
             F.count(F.lit(1)).alias("n_found"), F.max("dist_m").alias("kth_dist")
@@ -236,16 +251,16 @@ def knn_cell_ring(
         resolved_parts.append(
             topk.join(done_ids, "query_id", "left_semi")
             .select("query_id", "rank", F.col("_dk").alias(doc_key), "dist_m")
-            .localCheckpoint(eager=True)
         )
         # survivors that already explored max_radius exit to brute force;
-        # the rest double their radius and continue
+        # the rest grow their radius and continue (checkpointed so the next
+        # round's frontier plan stays a flat scan — test_knn asserts it)
         survivors = unresolved.join(done_ids, "query_id", "left_anti").localCheckpoint(
             eager=True
         )
         straggler_parts.append(survivors.where(F.col("r") >= max_radius))
         unresolved = survivors.where(F.col("r") < max_radius).withColumn(
-            "r", F.least(F.col("r") * 2, F.lit(max_radius)).cast("int")
+            "r", F.least(F.col("r") * growth, F.lit(max_radius)).cast("int")
         )
     # anything the loop never resolved: max-radius exits + loop-exhausted
     straggler_parts.append(unresolved)
