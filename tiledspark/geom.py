@@ -119,6 +119,38 @@ def _segs_intersect_rect(y1, x1, y2, x2, lat0, lat1, lon0, lon1) -> bool:
 
 # --- quadtree polygon cover -----------------------------------------------------
 
+def _batch_segs_intersect_rects(
+    ey1, ex1, ey2, ex2, lat0, lat1, lon0, lon1
+) -> np.ndarray:
+    """(E,) edges × (T,) rects -> (T,) bool: any segment touches each rect.
+    The exact per-rect logic of _segs_intersect_rect, broadcast over tiles
+    (round-4: the per-tile python descent loop dominated build_zone_cells —
+    the rect tests are now one (T,E) numpy evaluation per zoom level)."""
+    la0, la1 = lat0[:, None], lat1[:, None]
+    lo0, lo1 = lon0[:, None], lon1[:, None]
+    smin_y, smax_y = np.minimum(ey1, ey2)[None, :], np.maximum(ey1, ey2)[None, :]
+    smin_x, smax_x = np.minimum(ex1, ex2)[None, :], np.maximum(ex1, ex2)[None, :]
+    cand = ~((smax_y < la0) | (smin_y > la1) | (smax_x < lo0) | (smin_x > lo1))
+    in0 = (ey1[None, :] >= la0) & (ey1[None, :] <= la1) & (ex1[None, :] >= lo0) & (
+        ex1[None, :] <= lo1
+    )
+    in1 = (ey2[None, :] >= la0) & (ey2[None, :] <= la1) & (ex2[None, :] >= lo0) & (
+        ex2[None, :] <= lo1
+    )
+    hit = cand & (in0 | in1)
+    # separating-axis over the 4 rect corners for the remaining candidates
+    dx, dy = (ex2 - ex1)[None, :], (ey2 - ey1)[None, :]
+    ds = np.stack(
+        [
+            dx * (cy - ey1[None, :]) - dy * (cx - ex1[None, :])
+            for cy, cx in ((la0, lo0), (la0, lo1), (la1, lo0), (la1, lo1))
+        ]
+    )  # (4, T, E)
+    same_side = (ds > 0).all(axis=0) | (ds < 0).all(axis=0)
+    hit |= cand & ~same_side
+    return hit.any(axis=1)
+
+
 def np_polygon_cover(
     ring: np.ndarray,
     holes: list[np.ndarray] | None,
@@ -126,7 +158,12 @@ def np_polygon_cover(
     z_min: int = 6,
 ) -> tuple[np.ndarray, np.ndarray]:
     """-> (cell_ids int64[], is_boundary bool[]). Interior cells may be at any
-    zoom in [z_min, z_join]; boundary cells are always at z_join."""
+    zoom in [z_min, z_join]; boundary cells are always at z_join.
+
+    Level-by-level vectorized descent (round-4; same cells as the original
+    per-tile DFS, order aside): per zoom, ONE batched rect-intersection test
+    over every frontier tile and ONE vectorized center-PIP over the
+    untouched tiles; crossing tiles expand 4-way into the next level."""
     holes = holes or []
     all_rings = [ring] + holes
     ey1 = np.concatenate([r[:-1, 0] for r in all_rings])
@@ -137,44 +174,46 @@ def np_polygon_cover(
     lat_min, lat_max = float(ring[:, 0].min()), float(ring[:, 0].max())
     lon_min, lon_max = float(ring[:, 1].min()), float(ring[:, 1].max())
 
-    def tile_bounds(z, x, y):
-        n = 1 << z
-        lon0 = x / n * 360.0 - 180.0
-        lon1 = (x + 1) / n * 360.0 - 180.0
-        lat1 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * y / n))))
-        lat0 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (y + 1) / n))))
-        return lat0, lat1, lon0, lon1  # lat0 < lat1 (south, north)
-
-    out_cells: list[int] = []
-    out_boundary: list[bool] = []
+    out_cells: list[np.ndarray] = []
+    out_boundary: list[np.ndarray] = []
 
     x0, y_n = tiles.np_tile_xy(np.array([lon_min]), np.array([lat_max]), z_min)
     x1_, y_s = tiles.np_tile_xy(np.array([lon_max]), np.array([lat_min]), z_min)
-    stack = [
-        (z_min, x, y)
-        for x in range(int(x0[0]), int(x1_[0]) + 1)
-        for y in range(int(y_n[0]), int(y_s[0]) + 1)
-    ]
-    while stack:
-        z, x, y = stack.pop()
-        lat0, lat1, lon0, lon1 = tile_bounds(z, x, y)
-        crosses = _segs_intersect_rect(ey1, ex1, ey2, ex2, lat0, lat1, lon0, lon1)
-        if crosses:
-            if z == z_join:
-                out_cells.append(int(tiles.np_tile_pack(z, x, y)))
-                out_boundary.append(True)
-            else:
-                stack.extend(
-                    [(z + 1, 2 * x, 2 * y), (z + 1, 2 * x + 1, 2 * y),
-                     (z + 1, 2 * x, 2 * y + 1), (z + 1, 2 * x + 1, 2 * y + 1)]
-                )
-            continue
-        # untouched by boundary → fully inside or fully outside; center decides
-        c_in = np_points_in_polygon(
-            np.array([(lat0 + lat1) / 2]), np.array([(lon0 + lon1) / 2]), ring, holes
-        )[0]
-        if c_in:
-            out_cells.append(int(tiles.np_tile_pack(z, x, y)))
-            out_boundary.append(False)
+    gx = np.arange(int(x0[0]), int(x1_[0]) + 1, dtype=np.int64)
+    gy = np.arange(int(y_n[0]), int(y_s[0]) + 1, dtype=np.int64)
+    xs = np.repeat(gx, len(gy))
+    ys = np.tile(gy, len(gx))
 
-    return np.array(out_cells, np.int64), np.array(out_boundary, bool)
+    for z in range(z_min, z_join + 1):
+        if xs.size == 0:
+            break
+        n = 1 << z
+        lon0 = xs / n * 360.0 - 180.0
+        lon1 = (xs + 1) / n * 360.0 - 180.0
+        lat1 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * ys / n))))
+        lat0 = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (ys + 1) / n))))
+        crosses = _batch_segs_intersect_rects(
+            ey1, ex1, ey2, ex2, lat0, lat1, lon0, lon1
+        )
+        nc = ~crosses
+        if nc.any():
+            # untouched by boundary → fully inside or fully outside; center
+            # decides (same kernel, one call for the whole level)
+            c_in = np_points_in_polygon(
+                (lat0[nc] + lat1[nc]) / 2, (lon0[nc] + lon1[nc]) / 2, ring, holes
+            )
+            if c_in.any():
+                out_cells.append(tiles.np_tile_pack(z, xs[nc][c_in], ys[nc][c_in]))
+                out_boundary.append(np.zeros(int(c_in.sum()), bool))
+        if z == z_join:
+            if crosses.any():
+                out_cells.append(tiles.np_tile_pack(z, xs[crosses], ys[crosses]))
+                out_boundary.append(np.ones(int(crosses.sum()), bool))
+            break
+        cx, cy = xs[crosses], ys[crosses]
+        xs = np.repeat(2 * cx, 4) + np.tile(np.array([0, 1, 0, 1]), len(cx))
+        ys = np.repeat(2 * cy, 4) + np.tile(np.array([0, 0, 1, 1]), len(cy))
+
+    if not out_cells:
+        return np.array([], np.int64), np.array([], bool)
+    return np.concatenate(out_cells), np.concatenate(out_boundary)
