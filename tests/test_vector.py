@@ -116,3 +116,42 @@ def test_embedding_near_dup_pairs(spark):
     assert (3, 30) in found and (7, 31) in found, found
     # random independent gaussians almost never reach cos 0.95
     assert len(found) <= 4
+
+
+def test_ann_ivf_recall_and_exactness(spark):
+    """IVF ANN (the second scale path the driver brief names): (a) recall
+    >= 0.8 vs brute force on the clustered corpus at n_probe=4/16, (b)
+    probing every list EQUALS brute force exactly, (c) guaranteed-k on a
+    sparse probe set, (d) deterministic centroids (seeded sampled k-means)."""
+    from tiledspark.vector import ann_topk_ivf, ivf_train_centroids
+
+    pdf = _clustered_embeddings()
+    emb = spark.createDataFrame(pdf)
+    mats = np.array([np.asarray(e, np.float64) for e in pdf["embedding"]])
+    q = mats[0]
+    cos = (mats @ q) / (np.linalg.norm(mats, axis=1) * np.linalg.norm(q))
+    cos[0] = -2
+    exact_top = pdf["vec_id"].to_numpy()[np.argsort(-cos)[:10]].tolist()
+
+    corpus = emb.where(F.col("vec_id") != 0)
+    cents = ivf_train_centroids(corpus, n_centroids=16)
+    cents2 = ivf_train_centroids(corpus, n_centroids=16)
+    assert np.array_equal(cents, cents2), "centroid training must be deterministic"
+
+    got = ann_topk_ivf(
+        spark, corpus, list(map(float, q)), k=10, n_probe=4, centroids=cents
+    ).toPandas()
+    recall = len(set(got["vec_id"]) & set(exact_top)) / 10.0
+    assert recall >= 0.8, recall
+
+    # probe-all == exact brute force (ordering included)
+    all_probe = ann_topk_ivf(
+        spark, corpus, list(map(float, q)), k=10, n_probe=16, centroids=cents
+    ).toPandas()
+    assert all_probe["vec_id"].tolist() == exact_top
+
+    # guaranteed-k: k larger than any single list forces the escalation path
+    big = ann_topk_ivf(
+        spark, corpus, list(map(float, q)), k=50, n_probe=1, centroids=cents
+    ).toPandas()
+    assert len(big) == 50

@@ -114,24 +114,29 @@ def vector_norms(spark, sf_dir):
                / (SQRT({_DOT_SQL.format(a='un.emb', b='un.emb')})
                   * SQRT({_DOT_SQL.format(a='q.qv', b='q.qv')})) AS cs
         FROM un, q
+    ),
+    top10 AS (
+        SELECT vec_id, ROUND(cs, 4) AS cos_sim
+        FROM scored ORDER BY cs DESC, vec_id LIMIT 10
     )
-    SELECT vec_id, ROUND(cs, 4) AS cos_sim
-    FROM scored ORDER BY cs DESC, vec_id LIMIT 10
+    SELECT m.method, t.vec_id, t.cos_sim
+    FROM top10 t CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
     """,
 )
 def ann_lsh_topk(spark, sf_dir):
-    """Multi-table hyperplane-LSH ANN, ORACLED with planted ground truth
-    (round-4 fix: CORRECTNESS_r03 recorded 0 rows — the 16-bit buckets left
-    the uniform sf0.01 corpus with zero collisions and the operator had no
-    guaranteed-k fallback). Ten deterministic jittered copies of the query
-    vector are planted (vec_id 20M+j, +((j+i)%8)/1024 per dim → cos≈0.99997
-    vs a base-corpus max well below 0.9), so the global top-10 is EXACTLY the
-    planted set; the DuckDB oracle brute-forces every cosine and takes the
-    true top-10. The LSH path must find all ten (near-identical vectors
-    collide with the query's probes w.h.p., and the new guaranteed-k
-    escalation covers the residual) — recall vs brute force is additionally
-    asserted in pytest on a clustered corpus."""
-    from tiledspark.vector import ann_topk_lsh
+    """BOTH ANN scale paths, ORACLED with planted ground truth (round-4; the
+    driver brief names 'an IVF or LSH-bucketed variant as the scale path' —
+    this row carries each as a tagged union). Ten deterministic jittered
+    copies of the query vector are planted (vec_id 20M+j, +((j+i)%8)/1024
+    per dim → cos≈0.99997 vs a base-corpus max well below 0.9), so the
+    global top-10 is EXACTLY the planted set; the DuckDB oracle brute-forces
+    every cosine and both methods must return that same true top-10
+    (method='lsh': multi-table hyperplane LSH + multiprobe; method='ivf':
+    sampled-k-means inverted lists + nearest-centroid probes — each with the
+    guaranteed-k escalation, so a top-k call can never silently return fewer
+    than k rows; CORRECTNESS_r03 recorded 0 rows here before that contract).
+    Recall/exactness additionally asserted in pytest on clustered corpora."""
+    from tiledspark.vector import ann_topk_ivf, ann_topk_lsh
 
     e = table(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -153,9 +158,15 @@ def ann_lsh_topk(spark, sf_dir):
         )
     )
     un = base.unionByName(planted)
-    return ann_topk_lsh(spark, un, qvec, k=10, emb_col="emb").select(
-        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    lsh = ann_topk_lsh(spark, un, qvec, k=10, emb_col="emb").select(
+        F.lit("lsh").alias("method"), "vec_id", F.round("cos_sim", 4).alias("cos_sim")
     )
+    ivf = ann_topk_ivf(
+        spark, un, qvec, k=10, emb_col="emb", n_centroids=16, n_probe=4
+    ).select(
+        F.lit("ivf").alias("method"), "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
+    return lsh.unionByName(ivf)
 
 
 @query(

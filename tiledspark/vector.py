@@ -206,6 +206,113 @@ def ann_topk_lsh(
     )
 
 
+# --- IVF (inverted-file) ANN: the second scale path the driver brief names
+# ("an IVF or LSH-bucketed variant as the scale path") -------------------------
+
+IVF_SEED = 777
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_rows: int = 20_000,
+    n_iters: int = 10,
+    seed: int = IVF_SEED,
+) -> np.ndarray:
+    """(n_centroids, dim) k-means centroids from a bounded driver-side
+    sample — the standard IVF training shape (FAISS trains on a sample too):
+    the sample is capped at sample_rows regardless of corpus size, so the
+    driver round-trip is O(sample), never O(corpus). Deterministic: seeded
+    init (k-means++ style greedy farthest selection on the sample),
+    fixed-iteration Lloyd updates, no RNG in the update loop."""
+    pdf = emb.select(emb_col).limit(sample_rows).toPandas()
+    mat = np.array([np.asarray(e, np.float64) for e in pdf[emb_col]])
+    rng = np.random.default_rng(seed)
+    # k-means++ init on the sample
+    cents = [mat[rng.integers(len(mat))]]
+    d2 = ((mat - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, n_centroids):
+        cents.append(mat[int(d2.argmax())])
+        d2 = np.minimum(d2, ((mat - cents[-1]) ** 2).sum(axis=1))
+    C = np.stack(cents)
+    for _ in range(n_iters):
+        assign = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                C[c] = mat[m].mean(axis=0)
+    return C
+
+
+def with_ivf_centroid(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Adds `centroid_id` (int): nearest centroid by L2, Arrow-vectorized
+    batch matmul. At 10^12 vectors, write the corpus partitioned by
+    centroid_id — a probe then scans only its n_probe partitions
+    (partition-pruned IVF list scan), no shuffle at query time."""
+    C = centroids.astype(np.float64)
+    cn = (C ** 2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.array([np.asarray(v, np.float64) for v in e])
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+        d = -2.0 * (mat @ C.T) + cn[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return emb.withColumn("centroid_id", _assign(F.col(emb_col)))
+
+
+def ann_topk_ivf(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: probe the n_probe centroids nearest the query, exact
+    cosine only within their lists. Same GUARANTEED-k contract as
+    ann_topk_lsh: if the probed lists hold fewer than k candidates the call
+    escalates to probing every list (exact). n_probe == n_centroids is
+    exact by construction (every vector is in some list). Pass pre-trained
+    `centroids` to amortize training across queries."""
+    if centroids is None:
+        centroids = ivf_train_centroids(emb, emb_col, n_centroids)
+    q = np.asarray(query_vec, np.float64)
+    order = (((centroids - q) ** 2).sum(axis=1)).argsort()
+    probe_ids = [int(v) for v in order[:n_probe]]
+
+    assigned = with_ivf_centroid(emb, centroids, emb_col)
+
+    def _topk(cand: DataFrame) -> DataFrame:
+        qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+        return (
+            cand.withColumn("cos_sim", _cos_expr(F.col(emb_col), qlit))
+            .orderBy(F.desc("cos_sim"), F.asc(id_col))
+            .select(id_col, "cos_sim")
+            .limit(k)
+        )
+
+    cand = (
+        assigned.where(F.col("centroid_id").isin(probe_ids))
+        .select(id_col, emb_col)
+        .localCheckpoint()
+    )
+    if cand.count() < k:
+        cand = assigned.select(id_col, emb_col)  # probe everything: exact
+    return _topk(cand)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
