@@ -75,6 +75,13 @@ def tile_counts_all_zooms(
         splittable = base if max_docs is None else base.where(
             F.col("doc_count") > max_docs
         )
+        # Short-circuit (round 4): when NO base tile exceeds max_docs the
+        # deep branch is a guaranteed-empty full pass over the docs (join
+        # against an empty broadcast). take(1) on the checkpointed base is
+        # O(1); at planet scale splittable tiles exist and the branch runs.
+        if max_docs is not None and not splittable.take(1):
+            z0, _, _ = tiles.tile_unpack_exprs(F.col("tile_id"))
+            return up.withColumn("zoom", z0)
         split_ids = splittable.select(F.col("tile_id").alias("_split_base"))
         deep_docs = docs.withColumn(
             "_base", tiles.tile_id_expr(F.col("lon"), F.col("lat"), z_base)
