@@ -173,6 +173,9 @@ def spatial_join(
     # it, and without the cut each branch re-runs the whole doc-side explode
     # + join (measured 2× the stage cost at 4M pages). localCheckpoint writes
     # O(candidates) — cheaper than a second pass over O(docs × zoom-levels).
+    # narrow before the cut: the join key and salt already did their job, so
+    # the checkpoint write carries only what the two branches read
+    cand = cand.select(doc_key, "lat", "lon", "zone_id", "is_boundary")
     cand = cand.localCheckpoint(eager=False)
 
     interior = cand.where(~F.col("is_boundary")).select(doc_key, "lat", "lon", "zone_id")
