@@ -58,14 +58,19 @@ def _load_all() -> None:
 MAX_DRIVER_QUERIES = 50
 
 PRIORITY = [
-    # new / reshaped in round 3 (all newly oracled or re-blocked — unproven)
-    "tile_tree_rollup",      # replaced rows-only tile_build_rollup; oracled
-    "knn_cell_ring",         # upgraded rows-only -> oracled brute-force SQL
-    "embedding_near_dups",   # round-2 row was 0 rows; now planted + oracled
-    "lang_id_predict",       # upgraded rows-only -> oracled argmax SQL
+    # new / reshaped in round 4 (most recently changed — unproven first)
+    "spatial_join_zones",    # upgraded rows-only -> oracled end-to-end join
+    "ann_lsh_topk",          # r3 row was 0 rows; now planted + oracled,
+    #                          tagged union of BOTH ANN paths (lsh + ivf)
+    "tile_tree_rollup",      # r4: split/merge STATE machine added to oracle
+    "dedup_simhash",         # r4: showcase clamped to t=8
+    "dedup_minhash_lsh",     # r4: one-pass minhash signature
+    # round-3 upgrades
+    "knn_cell_ring",         # oracled brute-force SQL (r4: growth-4 rounds)
+    "embedding_near_dups",   # planted + oracled
+    "lang_id_predict",       # oracled argmax SQL
     "tile_math",             # widened with the oracled PIP column (op 17)
-    "dedup_simhash",         # new combination blocking scheme
-    # round-2 newly-green (keep early: most recently changed before that)
+    # round-2 newly-green
     "vector_topk_bruteforce",
     "vector_norms",
     "udaf_grouped_agg",
@@ -77,7 +82,6 @@ PRIORITY = [
     "fn_json",
     "agg_hash_basic",
     "vector_to_raster",
-    "ann_lsh_topk",
 ]
 
 
