@@ -69,3 +69,62 @@ def test_spark_submit_py_files(tmp_path, pages_path, zones_path, spark):
     assert joined.count() > 0
     # resumable per-zoom snapshots all present
     assert all(store.find_tag(f"tile_counts_zoom={z}") for z in result["zoom_snapshots"])
+
+
+def test_spark_submit_stream_diffs_job(tmp_path, pages_path, spark):
+    """jobs/stream_diffs.py end-to-end via spark-submit --py-files: diffs
+    stream onto an existing store as copy-on-write layers; a rerun from the
+    same checkpoint commits nothing new (exactly-once layering)."""
+    from tiledspark import synth, tiles
+    from tiledspark.extract import dedupe_latest_by_url, extract_coords
+    from tiledspark.snapshot import SnapshotStore
+
+    zip_path = str(tmp_path / "tiledspark.zip")
+    _build_zip(zip_path)
+    store_root = str(tmp_path / "store")
+
+    # seed the base snapshot the diff layers apply onto
+    store = SnapshotStore(store_root, n_buckets=256)
+    base = (
+        dedupe_latest_by_url(extract_coords(spark.read.parquet(pages_path)))
+        .where(F.col("lat").isNotNull())
+        .withColumn("tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE))
+        .select("url", "warc_ts", "text", "lang", "lat", "lon", "tile_id")
+    )
+    store.commit(base, key_col="tile_id", index_key="url")
+
+    diffs_dir = os.path.dirname(
+        synth.ensure_diff_batches(str(tmp_path), 5_000, n_batches=2, rows=60)[0]
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run():
+        return subprocess.run(
+            [
+                "spark-submit", "--master", "local[2]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "stream_diffs.py"),
+                "--diffs", diffs_dir,
+                "--store", store_root,
+                "--checkpoint", str(tmp_path / "ckpt"),
+                "--n-buckets", "256",
+            ],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+        )
+
+    out = run()
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(res["committed_snapshots"]) == 2, res
+    assert res["n_snapshots"] == 3  # base + 2 layers
+    # layers are copy-on-write, not full rewrites
+    m = store.manifest(res["latest"])
+    assert m["diff"]["n_carried_files"] > 0
+
+    # replay from the same checkpoint: nothing new
+    out2 = run()
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    res2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert res2["n_snapshots"] == 3 and res2["committed_snapshots"] == []

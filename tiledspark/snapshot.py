@@ -94,18 +94,27 @@ class SnapshotStore:
     # --- commit ----------------------------------------------------------------
 
     def _scan_files(self, data_dir: str, part_glob: str = "tbucket=*") -> list[dict[str, Any]]:
-        files = []
-        for p in sorted(glob.glob(os.path.join(data_dir, part_glob, "*.parquet"))):
-            md = pq.read_metadata(p)
-            files.append(
-                {
-                    "path": os.path.relpath(p, self.root),
-                    "partition": os.path.basename(os.path.dirname(p)),
-                    "rows": md.num_rows,
-                    "bytes": os.path.getsize(p),
-                }
-            )
-        return files
+        """Footer metadata for every just-written partition file. The reads
+        are independent small-file I/O, so they run on a thread pool —
+        sequential footer reads were ~40% of commit's driver time at 64
+        files (round 4), and a real object store makes each one a network
+        round-trip."""
+        paths = sorted(glob.glob(os.path.join(data_dir, part_glob, "*.parquet")))
+
+        def one(p: str) -> dict[str, Any]:
+            return {
+                "path": os.path.relpath(p, self.root),
+                "partition": os.path.basename(os.path.dirname(p)),
+                "rows": pq.read_metadata(p).num_rows,
+                "bytes": os.path.getsize(p),
+            }
+
+        if len(paths) <= 4:
+            return [one(p) for p in paths]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            return list(ex.map(one, paths))
 
     def _index_bucket_expr(self, key):
         """Key-index partition: ibucket = xxhash64(row key) % n_buckets —
