@@ -125,7 +125,21 @@ def _batch_segs_intersect_rects(
     """(E,) edges × (T,) rects -> (T,) bool: any segment touches each rect.
     The exact per-rect logic of _segs_intersect_rect, broadcast over tiles
     (round-4: the per-tile python descent loop dominated build_zone_cells —
-    the rect tests are now one (T,E) numpy evaluation per zoom level)."""
+    the rect tests are now one (T,E) numpy evaluation per zoom level).
+    Chunked over tiles so the (4,T,E) corner tensor stays bounded (~8 MB)
+    even for a detailed continental polygon's deep-zoom frontier."""
+    cap = max(1, 262_144 // max(len(ey1), 1))
+    if len(lat0) > cap:
+        return np.concatenate(
+            [
+                _batch_segs_intersect_rects(
+                    ey1, ex1, ey2, ex2,
+                    lat0[i : i + cap], lat1[i : i + cap],
+                    lon0[i : i + cap], lon1[i : i + cap],
+                )
+                for i in range(0, len(lat0), cap)
+            ]
+        )
     la0, la1 = lat0[:, None], lat1[:, None]
     lo0, lo1 = lon0[:, None], lon1[:, None]
     smin_y, smax_y = np.minimum(ey1, ey2)[None, :], np.maximum(ey1, ey2)[None, :]

@@ -225,7 +225,12 @@ def ivf_train_centroids(
     the sample is capped at sample_rows regardless of corpus size, so the
     driver round-trip is O(sample), never O(corpus). Deterministic: seeded
     init (k-means++ style greedy farthest selection on the sample),
-    fixed-iteration Lloyd updates, no RNG in the update loop."""
+    fixed-iteration Lloyd updates, no RNG in the update loop. The sample is
+    PLAN-deterministic (limit() follows the input's partition order): the
+    same DataFrame always trains the same centroids, but a repartitioned
+    copy of the same rows may train different (equally valid) ones — pin
+    `centroids` explicitly when bit-identical results must survive layout
+    changes."""
     pdf = emb.select(emb_col).limit(sample_rows).toPandas()
     mat = np.array([np.asarray(e, np.float64) for e in pdf[emb_col]])
     rng = np.random.default_rng(seed)
