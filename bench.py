@@ -46,6 +46,9 @@ def _host_idle_check(window_sec: float = 0.5) -> dict:
         busy_cores = (_cpu_busy_sec() - b0) / (time.perf_counter() - t0)
         with open("/proc/loadavg") as f:
             load1 = float(f.read().split()[0])
+        if busy_cores != busy_cores:  # _cpu_busy_sec's NaN error path:
+            # report UNKNOWN, not a definite verdict, and keep the JSON strict
+            return {"busy_cores_at_start": None, "loadavg_1m": load1, "idle": None}
         return {
             "busy_cores_at_start": round(busy_cores, 2),
             "loadavg_1m": load1,

@@ -4,7 +4,7 @@ minutely-diff loop) — submit with:
 
   spark-submit --py-files dist/tiledspark.zip jobs/stream_diffs.py \
       --diffs <diff-parquet-dir> --store <snapshot-store-root> \
-      --checkpoint <checkpoint-dir> [--continuous]
+      --checkpoint <checkpoint-dir>
 
 Each micro-batch of OsmChange-style page diffs (pages schema + op column)
 becomes ONE copy-on-write snapshot layer: only the tbucket/ibucket
@@ -38,7 +38,14 @@ def main() -> None:
     from tiledspark.streaming import stream_commit_diffs
 
     spark = SparkSession.builder.appName("tiledspark-stream-diffs").getOrCreate()
-    store = SnapshotStore(args.store, n_buckets=args.n_buckets)
+    # diffs apply onto an EXISTING base: its manifest's bucket count is
+    # authoritative (a CLI mismatch would corrupt bucket pruning — apply_diff
+    # also hard-rejects it); --n-buckets only matters for error clarity when
+    # the store is empty.
+    probe = SnapshotStore(args.store, n_buckets=args.n_buckets)
+    latest = probe.latest_id()
+    n_buckets = probe.manifest()["n_buckets"] if latest is not None else args.n_buckets
+    store = SnapshotStore(args.store, n_buckets=n_buckets)
     committed = stream_commit_diffs(spark, args.diffs, store, args.checkpoint)
     print(
         json.dumps(

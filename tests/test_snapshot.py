@@ -266,8 +266,18 @@ def test_find_tag_miss_authoritative_and_legacy_backfill(spark, tmp_path):
     import json as _json
 
     with open(os.path.join(root, "tags.json")) as f:
-        assert _json.load(f) == {"t1": 1, "t2": 2}
+        assert _json.load(f) == {"t1": 1, "t2": 2, "__complete__": True}
     assert legacy.find_tag("t1") == s1
+
+    # PARTIAL tags.json (round-4 review finding): a marker-less file written
+    # by an older build's record-on-commit path must NOT be authoritative
+    # for misses — the scan must still find tags it is missing
+    with open(os.path.join(root, "tags.json"), "w") as f:
+        _json.dump({"t2": 2}, f)  # t1 missing, no __complete__ marker
+    partial = SnapshotStore(root, n_buckets=4)
+    assert partial.find_tag("t1") == s1, "partial tags.json lost a real tag"
+    with open(os.path.join(root, "tags.json")) as f:
+        assert _json.load(f).get("__complete__") is True, "backfill must mark complete"
 
 
 def test_apply_diff_legacy_monolithic_index(spark, tmp_path):

@@ -91,39 +91,14 @@ def _np_points_on_ring_edge(plat, plon, rlat, rlon) -> np.ndarray:
     return (on_line & within).any(axis=1)
 
 
-# --- segment × axis-aligned rectangle intersection ---------------------------
-
-def _segs_intersect_rect(y1, x1, y2, x2, lat0, lat1, lon0, lon1) -> bool:
-    """True if ANY segment touches rect [lat0,lat1]x[lon0,lon1]."""
-    # quick reject: segment bbox vs rect
-    smin_y, smax_y = np.minimum(y1, y2), np.maximum(y1, y2)
-    smin_x, smax_x = np.minimum(x1, x2), np.maximum(x1, x2)
-    cand = ~((smax_y < lat0) | (smin_y > lat1) | (smax_x < lon0) | (smin_x > lon1))
-    if not cand.any():
-        return False
-    y1, x1, y2, x2 = y1[cand], x1[cand], y2[cand], x2[cand]
-    # endpoint inside rect
-    in0 = (y1 >= lat0) & (y1 <= lat1) & (x1 >= lon0) & (x1 <= lon1)
-    in1 = (y2 >= lat0) & (y2 <= lat1) & (x2 >= lon0) & (x2 <= lon1)
-    if (in0 | in1).any():
-        return True
-    # separating-axis: all four rect corners strictly on one side of the line
-    cy = np.array([lat0, lat0, lat1, lat1])
-    cx = np.array([lon0, lon1, lon0, lon1])
-    d = (x2 - x1)[:, None] * (cy[None, :] - y1[:, None]) - (y2 - y1)[:, None] * (
-        cx[None, :] - x1[:, None]
-    )
-    same_side = (d > 0).all(axis=1) | (d < 0).all(axis=1)
-    return bool((~same_side).any())
-
-
 # --- quadtree polygon cover -----------------------------------------------------
 
 def _batch_segs_intersect_rects(
     ey1, ex1, ey2, ex2, lat0, lat1, lon0, lon1
 ) -> np.ndarray:
     """(E,) edges × (T,) rects -> (T,) bool: any segment touches each rect.
-    The exact per-rect logic of _segs_intersect_rect, broadcast over tiles
+    Segment-vs-rect test (bbox reject, endpoint-in, separating axis over
+    the rect corners), broadcast over tiles
     (round-4: the per-tile python descent loop dominated build_zone_cells —
     the rect tests are now one (T,E) numpy evaluation per zoom level).
     Chunked over tiles so the (4,T,E) corner tensor stays bounded (~8 MB)

@@ -103,6 +103,11 @@ def knn_cell_ring(
     candidate cells per round for proportionally fewer fixed-cost Spark
     jobs, the dominant term for driver-loop rounds.
     """
+    if growth < 2:
+        raise ValueError(
+            f"growth must be >= 2 (got {growth}): the radius must expand "
+            "between rounds for the loop to terminate"
+        )
     doc_cells = (
         docs.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
         .select(

@@ -46,14 +46,17 @@ class SnapshotStore:
         self.n_buckets = n_buckets
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        # Seed tags.json on a FRESH store so find_tag misses are O(1) from the
-        # first commit (ADVICE r3). Existing stores without one are legacy:
-        # find_tag backfills them on its first miss.
+        # Seed tags.json on a FRESH store so find_tag misses are O(1) from
+        # the first commit (ADVICE r3). The __complete__ marker records that
+        # the file covers EVERY tag in the store: a tags.json without it
+        # (written by an older build's record-on-commit path against a store
+        # that already had tagged manifests) is partial, and find_tag must
+        # not treat its misses as authoritative.
         tp = os.path.join(root, "tags.json")
         if not os.path.exists(tp) and not self.snapshots():
             tmp = tp + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({}, f)
+                json.dump({"__complete__": True}, f)
             os.replace(tmp, tp)
 
     # --- manifest plumbing ---------------------------------------------------
@@ -290,27 +293,31 @@ class SnapshotStore:
 
     def find_tag(self, tag: str) -> int | None:
         """O(1) both ways (ADVICE r3): tags.json is AUTHORITATIVE for misses
-        too — it is seeded at store creation and backfilled exactly once for
-        legacy stores, so the per-micro-batch idempotence probe in
-        stream_commit_diffs (a miss on every normal batch) never rescans the
-        manifest list."""
+        ONLY when it carries the __complete__ marker (seeded at store
+        creation, or set by the one-time backfill). A marker-less tags.json
+        — written by an older build's record-on-commit path against a store
+        that already had tagged manifests — is PARTIAL, and a miss there
+        still triggers the scan + full backfill; treating it as
+        authoritative would re-apply already-committed diff batches
+        (exactly-once regression, round-4 review finding)."""
         tags = self._load_tags()
-        if tag in tags:
+        if tag in tags and tag != "__complete__":
             return tags[tag]
-        if os.path.exists(self._tags_path()):
+        if tags.get("__complete__"):
             return None  # authoritative miss
-        # legacy store (manifests predate tags.json): one scan, then backfill
-        # the full mapping + write the file so every later miss is O(1)
+        # legacy/partial store: one scan, then backfill the full mapping
+        # (+ marker) so every later miss is O(1)
         found: dict[str, int] = {}
         for sid in self.snapshots():
             t = self.manifest(sid).get("tag")
             if t is not None and t not in found:
                 found[t] = sid
+        found["__complete__"] = True
         tmp = self._tags_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(found, f, indent=1, sort_keys=True)
         os.replace(tmp, self._tags_path())
-        return found.get(tag)
+        return found.get(tag) if tag != "__complete__" else None
 
     # --- point lookups (ops 10-12: the reference's Get / GetTile serving
     # surface, SURVEY.md §3.1 EP3) — each opens ONLY the matching bucket's
@@ -415,6 +422,17 @@ class SnapshotStore:
             if existing is not None:
                 return existing
         base_m = self.manifest()
+        if base_m.get("n_buckets") not in (None, self.n_buckets):
+            # Round-4 review finding: carrying files partitioned mod K into a
+            # store object configured mod K' silently corrupts bucket pruning
+            # (read_tile/get_by_key would miss rows in carried partitions).
+            # A full-rewrite commit() may change bucket count; a diff may not.
+            raise ValueError(
+                f"store was committed with n_buckets={base_m['n_buckets']} "
+                f"but this SnapshotStore was opened with n_buckets="
+                f"{self.n_buckets}; reopen with the manifest's value (diffs "
+                "carry files partitioned with the original bucket count)"
+            )
         delta = delta.withColumn(
             "tbucket", F.pmod(F.col(key_col), F.lit(self.n_buckets)).cast("int")
         )
