@@ -145,7 +145,17 @@ class SnapshotStore:
         The index is itself ibucket-partitioned and copy-on-write: apply_diff
         passes index_df (the rewritten index partitions only) +
         carried_index_files; index_df=None rebuilds it from the leaf files
-        (full-commit / squash path)."""
+        (full-commit / squash path).
+
+        Determinism requirement (round-4 review): with index_df=None the
+        index is derived by RE-EVALUATING df's lineage (the alternative — a
+        read-back of the just-written leaf files — is a full-table scan per
+        commit at scale). df must therefore be deterministic across
+        evaluations, which the engine's global determinism contract
+        (SURVEY.md risk R2: no nondeterministic aggregates, total-order
+        sorts) already guarantees for every internal caller; external
+        callers committing e.g. sample()/limit()-derived frames should
+        persist them first or pass index_df explicitly."""
         sid = self._next_id()
         data_dir = os.path.join(self.root, "data", f"{sid:08d}")
         out = df.withColumn(
