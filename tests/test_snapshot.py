@@ -280,6 +280,29 @@ def test_find_tag_miss_authoritative_and_legacy_backfill(spark, tmp_path):
         assert _json.load(f).get("__complete__") is True, "backfill must mark complete"
 
 
+def test_apply_diff_rejects_bucket_count_mismatch(spark, tmp_path):
+    """Round-4 review finding: a diff through a store object opened with a
+    different n_buckets than the base manifest would carry files partitioned
+    with the ORIGINAL count while pruning with the new one — point lookups
+    silently miss rows. apply_diff must hard-reject the mismatch."""
+    root = str(tmp_path / "bstore")
+    df = spark.range(100).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        (F.col("id") % 7).alias("tile_id"),
+    )
+    SnapshotStore(root, n_buckets=32).commit(df, key_col="tile_id", index_key="url")
+    wrong = SnapshotStore(root, n_buckets=256)
+    delta = spark.createDataFrame(
+        [("u1", 3, "upsert")], "url string, tile_id long, op string"
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        wrong.apply_diff(spark, delta, row_key="url", key_col="tile_id")
+    # reopened with the manifest's value it applies cleanly
+    right = SnapshotStore(root, n_buckets=32)
+    sid = right.apply_diff(spark, delta, row_key="url", key_col="tile_id")
+    assert right.manifest(sid)["diff"]["n_carried_files"] > 0
+
+
 def test_apply_diff_legacy_monolithic_index(spark, tmp_path):
     """ADVICE r3: a legacy manifest carries index_path (one monolithic index
     dir), not index_files. apply_diff must USE it for the old-bucket lookup —
