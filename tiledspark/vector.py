@@ -216,8 +216,8 @@ def ivf_train_centroids(
     emb: DataFrame,
     emb_col: str = "embedding",
     n_centroids: int = 16,
-    sample_rows: int = 20_000,
-    n_iters: int = 10,
+    sample_rows: int = 8_000,
+    n_iters: int = 6,
     seed: int = IVF_SEED,
 ) -> np.ndarray:
     """(n_centroids, dim) k-means centroids from a bounded driver-side
