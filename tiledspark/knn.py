@@ -1,8 +1,9 @@
 """Grid-partitioned kNN via cell-ring expansion (SURVEY.md op 19; north_star:
 "grid-partitioned kNN via cell-ring expansion").
 
-Strategy: doubling block radii. Round t explores the (2r+1)x(2r+1) tile block
-around each unresolved query (r = 1, 2, 4, ...): explode the block cells on
+Strategy: geometrically growing block radii (×`growth` per round, default
+r = 1, 4, 16, ...). Round t explores the (2r+1)x(2r+1) tile block
+around each unresolved query: explode the block cells on
 the (small) query side, equi-join against the doc cell index, take each
 query's k nearest by haversine. A query RESOLVES when its kth distance is <=
 the exact geographic distance from the query point to the block's edge — any
@@ -83,7 +84,7 @@ def knn_cell_ring(
     PER QUERY, seeded by a density pre-pass (ring-0 3x3 doc counts -> the
     radius a uniform-density estimate needs for k docs, rounded up to a
     power of two). Sparse-region queries skip their guaranteed-empty early
-    rounds instead of paying one Spark job per doubling; dense-region
+    rounds instead of paying one Spark job per growth step; dense-region
     queries still start at r=1. The resolution rule (exact edge bound) is
     unchanged, so results are IDENTICAL — only the number of rounds a query
     participates in changes. Measured (bench/knn_adaptive_probe.py): 1.65x
@@ -153,7 +154,8 @@ def knn_cell_ring(
         )
         # uniform-density estimate: need block area ~ 9k/cnt9 cells ->
         # side ~ 3*sqrt(k/cnt9) -> r0 = ceil((side-1)/2), snapped up to a
-        # power of two so later doublings stay aligned; clamped to
+        # power of two (alignment with later growth steps is cosmetic —
+        # the resolution rule is exact at ANY radius); clamped to
         # [1, max_radius]. Queries with NO ring-0 docs get the estimate as
         # if cnt9 = 1 (sparse -> start wide).
         est_side = F.lit(3.0) * F.sqrt(F.lit(float(k)) / F.coalesce(F.col("_cnt9"), F.lit(1)).cast("double"))
