@@ -261,6 +261,13 @@ def main() -> None:
 
     join_rows = timed("spatial_join", _join)
 
+    # SPARK_GRAFT_PIPELINE_ONLY=1 (round-5 interleaved-pair scaling protocol):
+    # stop after the three stages that define docs/sec. Each scaling run then
+    # costs only the pipeline + warmup, so an interleaved N,4N,N,4N,... session
+    # fits inside a fresh-host window and host decay cannot asymmetrically
+    # penalize whichever side would otherwise run last (VERDICT r4 #1).
+    pipeline_only = os.environ.get("SPARK_GRAFT_PIPELINE_ONLY", "0") == "1"
+
     def _knn():
         import numpy as np
         import pandas as pd
@@ -279,18 +286,19 @@ def main() -> None:
         )
         return knn_cell_ring(spark, docs.select("url", "lat", "lon"), q, k=5, zoom=8).count()
 
-    timed("knn_cell_ring", _knn)
+    if not pipeline_only:
+        timed("knn_cell_ring", _knn)
 
-    # --- relational headliners over the driver tables
-    from tiledspark.registry import build_queries
+        # --- relational headliners over the driver tables
+        from tiledspark.registry import build_queries
 
-    queries = build_queries()
-    for name in ("agg_hash_basic", "join_inner_hash", "window_frame_agg", "join_range"):
-        timed(name, lambda n=name: queries[n](spark, sf_dir).count())
+        queries = build_queries()
+        for name in ("agg_hash_basic", "join_inner_hash", "window_frame_agg", "join_range"):
+            timed(name, lambda n=name: queries[n](spark, sf_dir).count())
 
-    # --- training-data pipeline headliners
-    for name in ("dedup_exact", "dedup_minhash_lsh", "vector_topk_bruteforce", "ann_lsh_topk"):
-        timed(name, lambda n=name: queries[n](spark, sf_dir).count())
+        # --- training-data pipeline headliners
+        for name in ("dedup_exact", "dedup_minhash_lsh", "vector_topk_bruteforce", "ann_lsh_topk"):
+            timed(name, lambda n=name: queries[n](spark, sf_dir).count())
 
     # --- snapshot commit throughput (+ optional diff-layer bench)
     snapshot_diff_layers: list[dict] = []
@@ -378,9 +386,10 @@ def main() -> None:
                 }
             )
 
-    timed("snapshot_commit", _commit)
-    if n_diff_layers:
-        timed("snapshot_diff_stack", _diff_stack)
+    if not pipeline_only:
+        timed("snapshot_commit", _commit)
+        if n_diff_layers:
+            timed("snapshot_diff_stack", _diff_stack)
 
     docs.unpersist(blocking=True)  # release the cache BEFORE the 100M-row stages
 
@@ -392,7 +401,7 @@ def main() -> None:
     # *slower* at 4N (coordination-dominated). The same shapes at ~40x the
     # rows show whether they amortize — input generated in-executor so the
     # shared disk is not the bottleneck.
-    if os.environ.get("SPARK_GRAFT_AMORTIZE", "0") == "1":
+    if os.environ.get("SPARK_GRAFT_AMORTIZE", "0") == "1" and not pipeline_only:
         def _agg_hash_big():
             # high-cardinality keys (20M groups) so the agg has a REAL
             # shuffle: low-cardinality modulo keys collapse map-side and the
@@ -472,7 +481,8 @@ def main() -> None:
         "master": master,
         "src": src,
         "host_idle_check": idle_check,
-        "tree_golden_match_rate": _tree_golden_match(),
+        "pipeline_only": pipeline_only,
+        "tree_golden_match_rate": None if pipeline_only else _tree_golden_match(),
     }
     if snapshot_diff_layers:
         result["snapshot_diff_layers"] = snapshot_diff_layers
