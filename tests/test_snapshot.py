@@ -353,3 +353,46 @@ def test_apply_diff_legacy_monolithic_index(spark, tmp_path):
     # post-upgrade pruned lookup works
     hit = store.get_by_key(spark, "u7").collect()
     assert len(hit) == 1 and hit[0]["text"] == "v1-7"
+
+
+def test_commit_activates_before_tagging(spark, tmp_path, monkeypatch):
+    """Round-5 exactly-once fix (ADVICE r4): commit() must swap LATEST
+    BEFORE recording the idempotence tag. A crash in the gap then leaves an
+    ACTIVATED snapshot with NO tag — find_tag misses, the foreachBatch
+    replay re-applies the batch (harmless redundant layer for keyed
+    upserts), and no batch is ever silently dropped. The old tag-then-swap
+    order left a durable tag for a never-activated snapshot: the replay
+    probe returned the orphaned sid and the batch was lost."""
+    import pandas as pd
+
+    from tiledspark import snapshot as snap_mod
+
+    root = str(tmp_path / "order_store")
+    store = SnapshotStore(root, n_buckets=4)
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1", "u2"], "tile_id": [1, 2], "v": [10, 20]})
+    )
+    sid0 = store.commit(df, key_col="tile_id", tag="batch_0")
+    assert store.latest_id() == sid0 and store.find_tag("batch_0") == sid0
+
+    # simulate a crash BETWEEN the two durable writes: the tag write raises
+    calls = {"n": 0}
+    real_record = SnapshotStore._record_tag
+
+    def _boom(self, tag, sid):
+        calls["n"] += 1
+        raise OSError("simulated crash before the tag write")
+
+    monkeypatch.setattr(SnapshotStore, "_record_tag", _boom)
+    with pytest.raises(OSError):
+        store.commit(df, key_col="tile_id", tag="batch_1")
+    monkeypatch.setattr(SnapshotStore, "_record_tag", real_record)
+    assert calls["n"] == 1
+
+    # the snapshot IS active (LATEST advanced) but carries no tag -> the
+    # idempotence probe reports "not applied" and a replay goes through
+    assert store.latest_id() > sid0, "swap must precede the tag write"
+    assert store.find_tag("batch_1") is None
+    sid2 = store.commit(df, key_col="tile_id", tag="batch_1")  # the replay
+    assert store.find_tag("batch_1") == sid2
+    assert store.latest_id() == sid2
