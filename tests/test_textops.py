@@ -148,7 +148,8 @@ def test_simhash_blocking_scheme_key_width():
         w = max(wd for _, wd in _chunk_layout(g))
         assert m * w >= 12, f"t={t}: key only {m * w} bits"
         assert math.comb(g, m) <= SIMHASH_COMBO_LIMIT, (t, g, m)
-    # and specifically t=12 (the dedup_simhash query's setting) is >= 16 bits
+    # t=12 (the pre-r4 showcase setting; the driver query now runs t=8,
+    # see test_simhash_fanout_envelope) still carries >= 16-bit keys
     g, m = _blocking_scheme(12)
     assert m * max(wd for _, wd in _chunk_layout(g)) >= 16
 
@@ -278,3 +279,105 @@ def test_minhash_perms_are_distinct(spark):
     # collapsed permutations -> all 16 values identical; independent
     # permutations over ~7 distinct shingles collide only occasionally
     assert len(set(sig)) >= 12, sig
+
+
+def test_minhash_empty_shingles_null_signature(spark):
+    """ADVICE r4: two sub-k-length docs must NOT surface as near-dups. The
+    signature for an empty shingle array is NULL (not the sentinel
+    num_perm x max_long accumulator), and null-signature docs are excluded
+    from banding (xxhash64(null) degenerates to the seed constant, which
+    would re-collide them)."""
+    import pandas as pd
+
+    from tiledspark.textops import lsh_candidate_pairs, minhash_signature_expr, with_minhash
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4],
+                # ids 1/2: empty shingle arrays via empty-string tokens are
+                # not reachable through shingles_expr, so drive the expr
+                # directly below; here two NORMAL docs + two identical docs
+                "text": ["aa bb cc dd ee", "zz yy xx ww vv", "p q r s t", "p q r s t"],
+            }
+        )
+    )
+    sig = df.select(
+        minhash_signature_expr(F.array().cast("array<string>")).alias("s")
+    ).collect()[0]["s"]
+    assert sig is None, "empty shingle set must yield a NULL signature"
+
+    pairs = lsh_candidate_pairs(df, "id", est_threshold=0.2).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (3, 4) in found and (1, 2) not in found, found
+
+    # null text propagates to a null signature and is likewise excluded
+    # (explicit schema: an all-None pandas column has no inferable type)
+    nulls = spark.createDataFrame([(7, None), (8, None)], "id long, text string")
+    sigs = with_minhash(nulls).select("minhash").collect()
+    assert all(r["minhash"] is None for r in sigs)
+    assert lsh_candidate_pairs(nulls, "id", est_threshold=0.0).count() == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    """Round-5 exact n-gram Jaccard dedup: 100%-recall inverted-index
+    blocking — every pair at j >= threshold is found (no probabilistic
+    step), counts match a numpy brute force, and the hash-collapsed posting
+    join changes nothing vs raw-string semantics."""
+    import pandas as pd
+
+    from tiledspark.textops import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        1: base,
+        2: base,  # exact dup of 1 -> j = 1.0
+        3: base.replace("kappa", "lambda"),  # near dup: 1 shingle swapped...
+        4: "one two three four five six seven eight nine ten",  # unrelated
+        5: "totally different words entirely here now ok fine yes done",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = ngram_jaccard_pairs(df, "doc_id", min_jaccard=0.5).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    # brute force the expected set with python shingles
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    expect = set()
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            A, B = sh(texts[a]), sh(texts[b])
+            if len(A & B) / len(A | B) >= 0.5:
+                expect.add((a, b))
+    assert found == expect, (found, expect)
+    assert (1, 2) in found
+    # and the emitted counts are the true set sizes
+    for _, r in got.iterrows():
+        A, B = sh(texts[int(r["id_a"])]), sh(texts[int(r["id_b"])])
+        assert (int(r["n_inter"]), int(r["n_union"])) == (len(A & B), len(A | B))
+
+
+def test_ngram_jaccard_max_df_guard(spark):
+    """The 100-TB knob: shingles above max_df doc frequency are dropped from
+    candidate generation — a pair sharing ONLY ultra-common shingles is not
+    surfaced, everything else is unaffected."""
+    import pandas as pd
+
+    from tiledspark.textops import ngram_jaccard_pairs
+
+    common = "the same boilerplate header text here"
+    rows = {i: common for i in range(1, 8)}  # 7 docs sharing everything
+    rows[8] = "unique content alpha beta gamma delta epsilon"
+    rows[9] = "unique content alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(rows), "text": list(rows.values())})
+    )
+    full = ngram_jaccard_pairs(df, "doc_id", min_jaccard=0.5).toPandas()
+    assert len(full) == 21 + 1  # C(7,2) boilerplate pairs + the (8,9) pair
+    capped = ngram_jaccard_pairs(df, "doc_id", min_jaccard=0.5, max_df=5).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(capped["id_a"], capped["id_b"])}
+    assert found == {(8, 9)}, found

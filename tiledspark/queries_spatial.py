@@ -433,15 +433,12 @@ def knn_cell_ring_q(spark, sf_dir):
     )
 
 
-@query("tile_tree_build")
-def tile_tree_build(spark, sf_dir):
-    """Op 13: the golden tile-tree artifact (rows-only; frozen-golden in pytest)."""
-    from tiledspark.extract import dedupe_latest_by_url, extract_coords
-    from tiledspark.tree import build_tile_tree
-
-    pages = _synth_pages(spark, sf_dir)
-    docs = dedupe_latest_by_url(extract_coords(pages))
-    return build_tile_tree(docs).orderBy("tile_id")
+# tile_tree_build retired round 5 (VERDICT r4 #3): its rows-only driver row
+# duplicated coverage — the full split/merge/materialized/interior state
+# machine is oracled end-to-end via tile_tree_rollup, and the frozen golden
+# artifact over the pages corpus is gated in pytest (test_tree_golden_sf0001).
+# Its registry slot now carries the oracled dedup_ngram_jaccard
+# (queries_text.py) under the 50-row driver cap.
 
 
 # --- op 22: vector -> raster (named operator, independent DuckDB oracle) -----

@@ -58,13 +58,17 @@ def _load_all() -> None:
 MAX_DRIVER_QUERIES = 50
 
 PRIORITY = [
-    # new / reshaped in round 4 (most recently changed — unproven first)
+    # new / reshaped in round 5 (most recently changed — unproven first)
+    "dedup_minhash_lsh",     # r5: upgraded rows-only -> oracled (planted +
+    #                          measured ground truth, integer counts)
+    "dedup_simhash",         # r5: oracled on the byte-identical stratum
+    "dedup_ngram_jaccard",   # r5: NEW — exact-jaccard dedup, 100%-recall
+    #                          blocking, fills tile_tree_build's slot
+    "ann_lsh_topk",          # r5: planted rows now driver literals (the
+    #                          cross-join-warning fix); both ANN paths oracled
+    # round-4 upgrades
     "spatial_join_zones",    # upgraded rows-only -> oracled end-to-end join
-    "ann_lsh_topk",          # r3 row was 0 rows; now planted + oracled,
-    #                          tagged union of BOTH ANN paths (lsh + ivf)
     "tile_tree_rollup",      # r4: split/merge STATE machine added to oracle
-    "dedup_simhash",         # r4: showcase clamped to t=8
-    "dedup_minhash_lsh",     # r4: one-pass minhash signature
     # round-3 upgrades
     "knn_cell_ring",         # oracled brute-force SQL (r4: growth-4 rounds)
     "embedding_near_dups",   # planted + oracled

@@ -44,12 +44,18 @@ DEFAULT_BANDS = 4  # 4 rows per band with 16 perms
 
 
 def shingles_expr(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles as array<string> (distinct), pure HOFs."""
+    """Word k-gram shingles as array<string> (distinct), pure HOFs.
+
+    NULL text -> NULL shingles (round 5): without the guard,
+    greatest(size(NULL) - 2, 1) evaluates to 1 (greatest skips nulls), so a
+    null text produced the single-element array [NULL] — and every
+    null-text doc then hashed to the SAME junk signature (xxhash64(NULL)
+    degenerates to the seed) and surfaced as near-dups of each other."""
     toks = F.split(text, " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    return F.array_distinct(grams)
+    return F.when(text.isNotNull(), F.array_distinct(grams))
 
 
 def minhash_signature_expr(sh: Column, num_perm: int = DEFAULT_NUM_PERM) -> Column:
@@ -77,14 +83,29 @@ def minhash_signature_expr(sh: Column, num_perm: int = DEFAULT_NUM_PERM) -> Colu
     form only escaped this because its f-string baked the index column's
     auto-numbered repr into the literal — distinct by accident.) Inner
     lambdas here take only genuine lambda variables; guarded by
-    test_minhash_perms_are_distinct."""
+    test_minhash_perms_are_distinct.
+
+    Empty shingle sets get a NULL signature, not the aggregate()'s initial
+    accumulator (num_perm × max_long): two shingle-less docs would otherwise
+    compare signature-identical (est Jaccard 1.0) and surface as near-dups
+    (ADVICE r4). Null propagates from a null shingle array already; this
+    makes the empty array behave the same way."""
     max_long = (1 << 63) - 1
     hs = F.transform(sh, lambda s: F.xxhash64(s))
     seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    return F.aggregate(
-        hs,
-        F.array_repeat(F.lit(max_long), num_perm),
-        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
+    # guard on size(sh) — the INPUT column — not size(hs): Catalyst does not
+    # CSE across when() arms (same trap as the HOF arms above), so a guard
+    # on hs re-states the per-shingle string-hash transform in the condition.
+    # (Micro-benchmarked at sf0.1: the duplication is in the noise TODAY
+    # because the condition short-circuits per row, but size(sh) is free and
+    # never depends on that.)
+    return F.when(
+        F.size(sh) > 0,
+        F.aggregate(
+            hs,
+            F.array_repeat(F.lit(max_long), num_perm),
+            lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
+        ),
     )
 
 
@@ -109,8 +130,13 @@ def _banded_ids(
     Signatures/shingles are projected away before the exchange (the payload
     fix from round 1 — see module docstring)."""
     rows_per_band = num_perm // bands
-    sig = with_minhash(df, text_col, k, num_perm).select(
-        F.col(id_col).alias("_id"), "minhash"
+    # null signature = no shingles (sub-k text) — excluded: xxhash64(null)
+    # degenerates to the seed constant, which would re-collide every
+    # shingle-less doc in every band (the exact bug the null signature fixes)
+    sig = (
+        with_minhash(df, text_col, k, num_perm)
+        .select(F.col(id_col).alias("_id"), "minhash")
+        .where(F.col("minhash").isNotNull())
     )
     return sig.select(
         "_id",
@@ -222,13 +248,80 @@ def lsh_candidate_pairs(
         ).cast("double")
         / F.size("mh_a").cast("double")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
     return (
         pairs.withColumn("est_jaccard", est)
-        .withColumn("exact_jaccard", inter / union)
+        .withColumn("n_inter", inter)
+        .withColumn("n_union", union)
+        .withColumn("exact_jaccard", inter.cast("double") / union.cast("double"))
         .where(F.col("est_jaccard") >= est_threshold)
-        .select("id_a", "id_b", "est_jaccard", "exact_jaccard")
+        .select("id_a", "id_b", "est_jaccard", "exact_jaccard", "n_inter", "n_union")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram (word k-shingle) Jaccard near-dup pairs — the
+    deterministic companion to MinHash LSH (the driver brief's 'n-gram
+    Jaccard' dedup mode): -> (id_a, id_b, n_inter, n_union) for every pair
+    with |A∩B|/|A∪B| >= min_jaccard, id_a < id_b.
+
+    Blocking is a shingle inverted index: a pair with jaccard > 0 shares at
+    least one shingle, so joining postings lists has 100% recall by
+    construction (no probabilistic step anywhere — unlike LSH this surfaces
+    EVERY qualifying pair). The posting exchange carries (shingle_hash, id)
+    only — the shingle string is collapsed to xxhash64 before the shuffle;
+    a hash collision can only ADD candidate pairs (recall is unaffected)
+    and the exact-jaccard filter removes them, so the result is identical
+    to joining on the raw string at a fraction of the exchange bytes.
+
+    max_df (the 100-TB knob): drop shingles whose document frequency
+    exceeds max_df from candidate GENERATION (boilerplate n-grams otherwise
+    create quadratic postings self-joins). This trades recall for pairs
+    that share ONLY ultra-common shingles — exactly the pairs that are not
+    near-dups at any realistic threshold. None = exhaustive (small corpora
+    / oracle mode). Counts (n_inter, n_union) are emitted as integers so
+    the driver's value hash never sits on a float-rounding boundary."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles_expr(F.col(text_col), k)).alias("shset"),
+    )
+    post = sh.select("_id", F.explode("shset").alias("s")).select(
+        "_id", F.xxhash64("s").alias("sh")
+    )
+    if max_df is not None:
+        w = Window.partitionBy("sh")
+        post = post.withColumn("_df", F.count(F.lit(1)).over(w)).where(
+            F.col("_df") <= max_df
+        ).drop("_df")
+    cand = (
+        post.select(F.col("sh"), F.col("_id").alias("id_a"))
+        .join(post.select(F.col("sh"), F.col("_id").alias("id_b")), "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("shset").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("shset").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("n_union"),
+        )
+    )
+    # integer-exact threshold: inter/union >= j  <=>  inter >= j * union;
+    # both engines compare the same ints against the same double product
+    return out.where(
+        F.col("n_inter").cast("double") >= F.lit(min_jaccard) * F.col("n_union").cast("double")
     )
 
 
