@@ -143,19 +143,19 @@ def ann_lsh_topk(spark, sf_dir):
     base = e.where(F.col("vec_id") != 0).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    q = e.where(F.col("vec_id") == 0).select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
-    )
-    planted = (
-        spark.range(10)
-        .select(F.col("id").cast("int").alias("j"))
-        .crossJoin(F.broadcast(q))
-        .select(
-            (F.lit(20_000_000) + F.col("j")).cast("long").alias("vec_id"),
-            F.transform(
-                "qv", lambda x, i: x + ((F.col("j") + i) % 8).cast("double") / F.lit(1024.0)
-            ).alias("emb"),
-        )
+    # Planted rows are DRIVER-SIDE LITERALS (round-5, VERDICT r4 #4): the
+    # previous range(10).crossJoin(broadcast(q)) construction forced Catalyst
+    # to lift the ANN calls' pandas-UDF bucket filters out of the join
+    # condition (ExtractPythonUDFFromJoinCondition → "converted to cross
+    # join" warnings on every bench run). qvec is already collected for the
+    # ANN API, so the same 10 jittered copies cost zero Spark jobs. Same
+    # arithmetic as the oracle: emb[i] = qv[i] + ((j + i) % 8) / 1024.
+    planted = spark.createDataFrame(
+        [
+            (20_000_000 + j, [x + ((j + i) % 8) / 1024.0 for i, x in enumerate(qvec)])
+            for j in range(10)
+        ],
+        "vec_id long, emb array<double>",
     )
     un = base.unionByName(planted)
     lsh = ann_topk_lsh(spark, un, qvec, k=10, emb_col="emb").select(

@@ -233,6 +233,15 @@ def ivf_train_centroids(
     changes."""
     pdf = emb.select(emb_col).limit(sample_rows).toPandas()
     mat = np.array([np.asarray(e, np.float64) for e in pdf[emb_col]])
+    if len(mat) == 0:
+        raise ValueError(
+            "ivf_train_centroids: empty corpus — nothing to train on "
+            "(rng.integers(0) would raise an opaque numpy error; ADVICE r4)"
+        )
+    # clamp: a sample smaller than n_centroids would silently duplicate
+    # centroids (farthest-point init re-picks the same rows); the Lloyd loop
+    # and ann_topk_ivf's argmax/probe logic tolerate the smaller count
+    n_centroids = min(n_centroids, len(mat))
     rng = np.random.default_rng(seed)
     # k-means++ init on the sample
     cents = [mat[rng.integers(len(mat))]]
@@ -316,6 +325,171 @@ def ann_topk_ivf(
     if cand.count() < k:
         cand = assigned.select(id_col, emb_col)  # probe everything: exact
     return _topk(cand)
+
+
+# --- batched N-query ANN (round 5, VERDICT r4 #6) ----------------------------
+#
+# The single-query APIs above pay one (or two) blocking count() jobs per call
+# for the guaranteed-k escalation — fine for analytical use, wasteful for a
+# multi-query workload. These variants take N queries at once and resolve the
+# escalation for ALL of them with ONE candidate job + ONE count job per
+# escalation level (the kNN cell-ring's round shape): level-0/1 probes for
+# every query go out as a single broadcast (query_id, probe) table joined
+# against the bucketed corpus; only the queries still short of k re-enter the
+# next level. Results are identical to calling the single-query API N times
+# (asserted in tests/test_vector.py).
+
+
+def _rank_topk_per_query(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _score_and_rank(
+    spark: SparkSession,
+    cand: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    qv_df = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, _qv array<double>",
+    )
+    scored = cand.join(F.broadcast(qv_df), "query_id").withColumn(
+        "cos_sim", _cos_expr(F.col(emb_col), F.col("_qv"))
+    )
+    return _rank_topk_per_query(scored, k, id_col).select("query_id", id_col, "cos_sim")
+
+
+def _counts_by_query(cand: DataFrame) -> dict[int, int]:
+    return {
+        r["query_id"]: r["n"]
+        for r in cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def ann_topk_lsh_batch(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """N-query LSH ANN -> (query_id, vec_id, cos_sim), top-k per query.
+    Same guaranteed-k contract and identical per-query results as
+    ann_topk_lsh, with the escalation probes batched: one corpus-scale
+    candidate job + one count job per level, independent of N."""
+    if not queries:
+        raise ValueError("ann_topk_lsh_batch: empty query list")
+    qids = [int(q) for q, _ in queries]
+    dim = len(queries[0][1])
+    planes = _planes(dim, n_tables, n_bits)
+    qmat = np.array([np.asarray(v, np.float64) for _, v in queries])
+    qb = _np_buckets(qmat, planes)  # (n_queries, n_tables) exact codes
+
+    def _probe_df(level: int, only: set[int] | None = None) -> DataFrame:
+        rows = []
+        for qid, codes in zip(qids, qb):
+            if only is not None and qid not in only:
+                continue
+            probes = {int(c) for c in codes}
+            if level >= 1:
+                probes |= {int(c) ^ (1 << i) for c in codes for i in range(n_bits)}
+            if level >= 2:
+                probes |= {
+                    int(c) ^ (1 << i) ^ (1 << j)
+                    for c in codes
+                    for i in range(n_bits)
+                    for j in range(i + 1, n_bits)
+                }
+            rows.extend((qid, p) for p in sorted(probes))
+        return spark.createDataFrame(rows, "query_id long, bucket long")
+
+    b = with_lsh_buckets(emb, emb_col, dim, n_tables, n_bits).withColumn(
+        "bucket", F.explode("buckets")
+    )
+
+    def _cands(probe_df: DataFrame) -> DataFrame:
+        return (
+            b.join(F.broadcast(probe_df), "bucket")
+            .dropDuplicates(["query_id", id_col])
+            .select("query_id", id_col, emb_col)
+        )
+
+    cand = _cands(_probe_df(multiprobe)).localCheckpoint()
+    have = _counts_by_query(cand)  # ONE count job for all N queries
+    deficient = {q for q in qids if have.get(q, 0) < k}
+    if deficient:
+        cand2 = _cands(_probe_df(2, deficient)).localCheckpoint()
+        have2 = _counts_by_query(cand2)
+        exact_q = sorted(q for q in deficient if have2.get(q, 0) < k)
+        cand = cand.where(~F.col("query_id").isin(sorted(deficient))).unionByName(cand2)
+        if exact_q:
+            qdf = spark.createDataFrame([(q,) for q in exact_q], "query_id long")
+            exact = (
+                emb.select(id_col, emb_col)
+                .crossJoin(F.broadcast(qdf))
+                .select("query_id", id_col, emb_col)
+            )
+            cand = cand.where(~F.col("query_id").isin(exact_q)).unionByName(exact)
+    return _score_and_rank(spark, cand, queries, k, id_col, emb_col)
+
+
+def ann_topk_ivf_batch(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """N-query IVF ANN -> (query_id, vec_id, cos_sim), top-k per query.
+    Centroid assignment runs ONCE over the corpus for all queries; probes go
+    out as one broadcast (query_id, centroid_id) table; queries whose probed
+    lists hold < k candidates escalate together to an exact scan (probe-all
+    is exact by construction). One count job total for the common path."""
+    if not queries:
+        raise ValueError("ann_topk_ivf_batch: empty query list")
+    if centroids is None:
+        centroids = ivf_train_centroids(emb, emb_col, n_centroids)
+    qids = [int(q) for q, _ in queries]
+    qmat = np.array([np.asarray(v, np.float64) for _, v in queries])
+    d2 = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    order = d2.argsort(axis=1)[:, : min(n_probe, len(centroids))]
+    probe_df = spark.createDataFrame(
+        [(qid, int(c)) for qid, cs in zip(qids, order) for c in cs],
+        "query_id long, centroid_id int",
+    )
+    assigned = with_ivf_centroid(emb, centroids, emb_col)
+    cand = (
+        assigned.join(F.broadcast(probe_df), "centroid_id")
+        .select("query_id", id_col, emb_col)
+        .localCheckpoint()
+    )
+    have = _counts_by_query(cand)  # ONE count job for all N queries
+    exact_q = sorted(q for q in qids if have.get(q, 0) < k)
+    if exact_q:
+        qdf = spark.createDataFrame([(q,) for q in exact_q], "query_id long")
+        exact = (
+            emb.select(id_col, emb_col)
+            .crossJoin(F.broadcast(qdf))
+            .select("query_id", id_col, emb_col)
+        )
+        cand = cand.where(~F.col("query_id").isin(exact_q)).unionByName(exact)
+    return _score_and_rank(spark, cand, queries, k, id_col, emb_col)
 
 
 def embedding_near_dup_pairs(
