@@ -93,19 +93,26 @@ def minhash_signature_expr(sh: Column, num_perm: int = DEFAULT_NUM_PERM) -> Colu
     max_long = (1 << 63) - 1
     hs = F.transform(sh, lambda s: F.xxhash64(s))
     seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    # guard on size(sh) — the INPUT column — not size(hs): Catalyst does not
-    # CSE across when() arms (same trap as the HOF arms above), so a guard
-    # on hs re-states the per-shingle string-hash transform in the condition.
-    # (Micro-benchmarked at sf0.1: the duplication is in the noise TODAY
-    # because the condition short-circuits per row, but size(sh) is free and
-    # never depends on that.)
-    return F.when(
-        F.size(sh) > 0,
-        F.aggregate(
-            hs,
-            F.array_repeat(F.lit(max_long), num_perm),
-            lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
+    # The empty guard lives INSIDE the aggregate (count-carrying accumulator
+    # + finish lambda), so `sh` is referenced exactly once. The obvious
+    # alternative — F.when(F.size(sh) > 0, F.aggregate(...)) — references
+    # the shingle expression twice, and when the caller's sh is an UNCACHED
+    # construction (the withColumn pipeline in with_minhash), Catalyst
+    # inlines it per reference: measured 2.2x the whole operator's wall at
+    # sf0.1 (round-5 A/B vs the round-4 code).
+    return F.aggregate(
+        hs,
+        F.struct(
+            F.array_repeat(F.lit(max_long), num_perm).alias("mins"),
+            F.lit(0).cast("long").alias("n"),
         ),
+        lambda acc, h: F.struct(
+            F.zip_with(
+                acc["mins"], seeds, lambda a, i: F.least(a, F.xxhash64(h, i))
+            ).alias("mins"),
+            (acc["n"] + F.lit(1)).alias("n"),
+        ),
+        lambda acc: F.when(acc["n"] > 0, acc["mins"]),
     )
 
 
@@ -130,14 +137,18 @@ def _banded_ids(
     Signatures/shingles are projected away before the exchange (the payload
     fix from round 1 — see module docstring)."""
     rows_per_band = num_perm // bands
-    # null signature = no shingles (sub-k text) — excluded: xxhash64(null)
-    # degenerates to the seed constant, which would re-collide every
-    # shingle-less doc in every band (the exact bug the null signature fixes)
-    sig = (
-        with_minhash(df, text_col, k, num_perm)
-        .select(F.col(id_col).alias("_id"), "minhash")
-        .where(F.col("minhash").isNotNull())
-    )
+    # Null-text docs are excluded BEFORE signing (cheap scan-pushable
+    # predicate): their signature would be NULL, and xxhash64(null) band
+    # keys degenerate to the seed constant — every null doc would re-collide
+    # in every band. Filtering on the SIGNATURE column instead is the
+    # pushdown trap: Catalyst substitutes the alias through the projection
+    # and evaluates the whole shingle+minhash pipeline twice per row.
+    # (shingles_expr yields >= 1 shingle for ANY non-null text — sub-k texts
+    # produce their whole text as the single shingle — so null text is the
+    # only null-signature source on this path.)
+    sig = with_minhash(
+        df.where(F.col(text_col).isNotNull()), text_col, k, num_perm
+    ).select(F.col(id_col).alias("_id"), "minhash")
     return sig.select(
         "_id",
         F.explode(
