@@ -381,3 +381,21 @@ def test_ngram_jaccard_max_df_guard(spark):
     capped = ngram_jaccard_pairs(df, "doc_id", min_jaccard=0.5, max_df=5).toPandas()
     found = {(int(a), int(b)) for a, b in zip(capped["id_a"], capped["id_b"])}
     assert found == {(8, 9)}, found
+
+
+def test_ngram_jaccard_posting_exchange_is_narrow(spark):
+    """Scale story for the n-gram Jaccard inverted index: the posting
+    exchange carries (xxhash64(shingle), id) — never the shingle string and
+    never the shingle-set array. Shingle arrays may only move in the final
+    per-surviving-pair rejoin, which is keyed on ids."""
+    from tiledspark.textops import ngram_jaccard_pairs
+
+    df = _corpus(spark)
+    pairs = ngram_jaccard_pairs(df, "doc_id", min_jaccard=0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            head = line.split("Exchange hashpartitioning", 1)[1][:120]
+            # posting exchanges key on the hashed shingle `sh` or on ids —
+            # the raw text/shingle-set columns must not be partition keys
+            assert "shset" not in head and "text" not in head, line

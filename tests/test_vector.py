@@ -266,3 +266,31 @@ def test_ivf_train_centroids_guards(spark):
     cents = ivf_train_centroids(small, n_centroids=16)
     assert cents.shape[0] == 5  # clamped to the sample
     assert len({tuple(np.round(c, 9)) for c in cents}) == 5  # all distinct
+
+
+def test_ann_batch_job_count_independent_of_n_queries(spark):
+    """The batched API's whole point (VERDICT r4 #6): escalation bookkeeping
+    costs a FIXED number of Spark jobs per escalation level, not per query.
+    Pin it with the status tracker: a 2-query batch and a 6-query batch over
+    the same corpus must launch the SAME number of jobs."""
+    from tiledspark.vector import ann_topk_lsh_batch
+
+    pdf = _clustered_embeddings()
+    emb = spark.createDataFrame(pdf)
+    mats = np.array([np.asarray(e, np.float64) for e in pdf["embedding"]])
+    sc = spark.sparkContext
+
+    def jobs_for(qids):
+        queries = [(int(i), [float(v) for v in mats[i]]) for i in qids]
+        group = f"annbatch_{len(qids)}"
+        sc.setJobGroup(group, "job-count probe")
+        try:
+            got = ann_topk_lsh_batch(spark, emb, queries, k=5).collect()
+        finally:
+            sc.setJobGroup("", "")
+        assert len(got) == 5 * len(qids)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    n2 = jobs_for((0, 25))
+    n6 = jobs_for((0, 25, 111, 222, 333, 399))
+    assert n2 == n6, f"job count scales with query count: {n2} vs {n6}"
