@@ -34,6 +34,31 @@ def _cpu_busy_sec() -> float:
     except (OSError, ValueError, IndexError):
         return float("nan")
 
+def _cpu_calibration() -> float | None:
+    """Fixed deterministic CPU workload, timed (round 5): the idle check
+    catches a LOADED host, but this sandbox also exhibits frozen-code
+    throughput DECAY within a session (measured ~15-40% across rounds 3-5)
+    that no load metric sees — an idle host can simply be slow. A constant
+    single-process numpy workload gives every BENCH json a host-speed
+    denominator, so cross-round suite comparisons can separate 'engine got
+    slower' from 'host got slower'. ~0.5s on a fresh host."""
+    try:
+        import numpy as np
+
+        def one() -> float:
+            rng = np.random.default_rng(0)
+            a = rng.standard_normal((1200, 1200))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                a = np.tanh(a @ a / 1200.0)
+            return time.perf_counter() - t0
+
+        one()  # cold pass warms the BLAS thread pool (~20x the warm time)
+        return round(min(one(), one()), 3)
+    except Exception:  # noqa: BLE001 — calibration must never sink the bench
+        return None
+
+
 def _host_idle_check(window_sec: float = 0.5) -> dict:
     """VERDICT r3 #8: cross-round BENCH files are only comparable if the host
     was idle at start. Sample /proc/stat over a short window BEFORE Spark
@@ -169,6 +194,7 @@ def _warmup(spark, pages, zones_path: str) -> None:
 
 def main() -> None:
     idle_check = _host_idle_check()
+    cpu_calib = _cpu_calibration()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
@@ -481,6 +507,7 @@ def main() -> None:
         "master": master,
         "src": src,
         "host_idle_check": idle_check,
+        "cpu_calibration_sec": cpu_calib,
         "pipeline_only": pipeline_only,
         "tree_golden_match_rate": None if pipeline_only else _tree_golden_match(),
     }
