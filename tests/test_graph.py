@@ -1,0 +1,57 @@
+"""Connected components + transitive dedup keeper selection (graph.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tiledspark.graph import connected_components, dedup_keepers
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["id_a", "id_b"]), "id_a long, id_b long"
+    )
+
+
+def test_cc_chain_triangle_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, (1,4) never surfaced), triangle 10-11-12,
+    # pair 20-21
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)])
+    got = {r["id"]: r["comp"] for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cc_long_chain_converges(spark):
+    n = 12  # diameter 11 — well past one propagation round
+    e = _edges(spark, [(i, i + 1) for i in range(n)])
+    got = {r["id"]: r["comp"] for r in connected_components(e).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_cc_edge_direction_irrelevant(spark):
+    a = connected_components(_edges(spark, [(5, 3), (3, 9)])).collect()
+    b = connected_components(_edges(spark, [(3, 5), (9, 3)])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r["comp"] for r in a} == {3}
+
+
+def test_dedup_keepers_transitive(spark):
+    """A~B and B~C collapse to ONE survivor even though (A, C) was never a
+    pair — the reason pair-wise drop policies under-dedup."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 7, 8, 9], "text": list("abcdef")}),
+        "doc_id long, text string",
+    )
+    pairs = _edges(spark, [(1, 2), (2, 3), (7, 8)])
+    kept = sorted(r["doc_id"] for r in dedup_keepers(docs, pairs).collect())
+    assert kept == [1, 7, 9]  # 9 untouched; 2,3 fold into 1; 8 into 7
+
+
+def test_dedup_keepers_empty_pairs(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["x", "y"]}),
+        "doc_id long, text string",
+    )
+    pairs = _edges(spark, [])
+    assert dedup_keepers(docs, pairs).count() == 2

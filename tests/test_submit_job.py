@@ -128,3 +128,59 @@ def test_spark_submit_stream_diffs_job(tmp_path, pages_path, spark):
     assert out2.returncode == 0, out2.stderr[-2000:]
     res2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert res2["n_snapshots"] == 3 and res2["committed_snapshots"] == []
+
+
+def test_spark_submit_dedup_corpus(tmp_path, spark):
+    """The training-data dedup sweep as a cluster job: exact stratum, LSH
+    near-dup pairs, transitive connected-component keeper selection — all
+    through the --py-files zip with no repo on the job's import path."""
+    zip_path = str(tmp_path / "tiledspark.zip")
+    _build_zip(zip_path)
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest tonight").split()
+    texts = {}
+    # 40 distinct filler docs
+    for i in range(40):
+        texts[i] = " ".join(f"w{i}_{j}" for j in range(30))
+    texts[100] = " ".join(base)
+    texts[101] = " ".join(base)                       # exact dup of 100
+    mut1 = list(base); mut1[3] = "cat"
+    texts[102] = " ".join(mut1)                       # near dup of 100
+    mut2 = list(mut1); mut2[15] = "slowly"
+    texts[103] = " ".join(mut2)                       # near dup of 102 (chain)
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(k, v) for k, v in sorted(texts.items())], "doc_id long, text string"
+    ).write.parquet(docs_path)
+
+    out_path = str(tmp_path / "deduped.parquet")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "dedup_corpus.py"),
+            "--docs", docs_path,
+            "--out", out_path,
+            "--min-jaccard", "0.5",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["n_docs"] == 44
+    assert stats["n_exact_dropped"] == 1          # 101
+    # 100~102~103 is one transitive component -> keeper 100 only
+    assert stats["n_near_dropped"] == 2 and stats["n_components"] == 1
+    assert stats["n_kept"] == 41
+    kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert 100 in kept and not {101, 102, 103} & kept
+    assert len(kept) == 41

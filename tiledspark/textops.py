@@ -514,8 +514,12 @@ def simhash_near_pairs(
     bucket_cap: int | None = DEFAULT_SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by simhash over a text column; see
-    simhash_pairs_from_hashes for the recall-guaranteed blocking scheme."""
-    s = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    simhash_pairs_from_hashes for the recall-guaranteed blocking scheme.
+    Null-text docs are excluded (round 5, same hole as the minhash path:
+    every null doc hashes to simhash 0 and would pair at hamming 0)."""
+    s = with_simhash(df.where(F.col(text_col).isNotNull()), text_col).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
     return simhash_pairs_from_hashes(s, max_hamming, bucket_cap=bucket_cap)
 
 
