@@ -55,3 +55,39 @@ def test_dedup_keepers_empty_pairs(spark):
     )
     pairs = _edges(spark, [])
     assert dedup_keepers(docs, pairs).count() == 2
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Randomized oracle: min-label propagation must agree with a classic
+    union-find on seeded random graphs (including multi-component shapes
+    propagation can get subtly wrong: shared minima, cross links)."""
+    import numpy as np
+
+    for seed in (3, 17, 92):
+        rng = np.random.default_rng(seed)
+        n, m = 40, 45
+        pairs = set()
+        while len(pairs) < m:
+            a, b = (int(v) for v in rng.integers(0, n, 2))
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for p in pairs for v in p}
+        expect = {v: find(v) for v in sorted(touched)}
+
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(_edges(spark, sorted(pairs))).collect()
+        }
+        assert got == expect, f"seed {seed}: {got} != {expect}"

@@ -399,3 +399,53 @@ def test_ngram_jaccard_posting_exchange_is_narrow(spark):
             # posting exchanges key on the hashed shingle `sh` or on ids —
             # the raw text/shingle-set columns must not be partition keys
             assert "shset" not in head and "text" not in head, line
+
+
+def test_winnowing_fingerprints(spark):
+    """Document fingerprinting via rolling-hash winnowing (Schleimer et al.
+    2003): (a) the kernel's rolling k-gram hashes equal direct polynomial
+    evaluation; (b) the winnowing GUARANTEE — two docs sharing a substring
+    of length >= w + k - 1 share at least one fingerprint; (c) unrelated
+    docs share none; (d) null/short-text edges."""
+    import numpy as np
+
+    from tiledspark.textops import (
+        DEFAULT_WINNOW_K,
+        DEFAULT_WINNOW_W,
+        WINNOW_BASE,
+        WINNOW_MOD,
+        _np_winnow,
+        with_winnow_fingerprints,
+    )
+
+    k, w = DEFAULT_WINNOW_K, DEFAULT_WINNOW_W
+
+    # (a) rolling == direct, via a reference reimplementation
+    rng = np.random.default_rng(12)
+    txt = "".join(chr(97 + int(v)) for v in rng.integers(0, 26, 120))
+    direct = []
+    for i in range(len(txt) - k + 1):
+        h = 0
+        for c in txt[i : i + k]:
+            h = (h * WINNOW_BASE + ord(c)) % WINNOW_MOD
+        direct.append(h)
+    picks = set()
+    for s in range(len(direct) - w + 1):
+        win = direct[s : s + w]
+        m = min(win)
+        picks.add(win[len(win) - 1 - win[::-1].index(m)])
+    assert _np_winnow(txt, k, w) == sorted(picks)
+
+    # (b)+(c)+(d) through the Spark surface
+    shared = "thequickbrownfoxjumpedhigh"  # len 26 >= w + k - 1 = 11
+    a = "zzzz" + shared + "qqqqqqqqqqqq"
+    b = "mmmmmmmmmm" + shared + "eeee"
+    unrelated = "".join(chr(65 + int(v)) for v in rng.integers(0, 20, 80))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, unrelated), (4, None), (5, "tiny")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["winnow_fp"] for r in with_winnow_fingerprints(df).collect()}
+    assert set(out[1]) & set(out[2]), "winnowing guarantee violated"
+    assert not set(out[1]) & set(out[3])
+    assert out[4] is None and out[5] == []

@@ -523,6 +523,78 @@ def simhash_near_pairs(
     return simhash_pairs_from_hashes(s, max_hamming, bucket_cap=bucket_cap)
 
 
+# --- document fingerprinting: rolling-hash winnowing ---------------------------
+#
+# The driver brief's "document fingerprinting (rolling hash)" — implemented
+# as WINNOWING (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms
+# for Document Fingerprinting", SIGMOD 2003, public spec): polynomial
+# rolling hashes over character k-grams, then the rightmost minimal hash of
+# every w-length window is selected. Guarantee (the paper's Theorem):
+# any shared substring of length >= w + k - 1 between two documents yields
+# at least one SHARED fingerprint, so fingerprint-set overlap detects local
+# (substring-level) copies that whole-document hashing and shingle Jaccard
+# both dilute. SPEC-PINNED constants: base 257, modulus 2^31-1 (Mersenne;
+# keeps every intermediate < 2^40, exact in int64).
+
+WINNOW_BASE = 257
+WINNOW_MOD = (1 << 31) - 1
+DEFAULT_WINNOW_K = 8  # k-gram length (chars)
+DEFAULT_WINNOW_W = 4  # window length (hashes)
+
+
+def _np_winnow(text: str, k: int, w: int) -> list[int]:
+    """Pure-python winnowing of one document (the per-doc kernel inside the
+    Arrow batch UDF; O(n) rolling update + O(n·w) window mins — at 100-TB
+    scale the window-min becomes a numpy sliding_window_view argmin, the
+    hash scan stays a per-doc loop over bytes)."""
+    if text is None:
+        return None
+    n = len(text)
+    if n < k:
+        return []
+    # rolling k-gram hashes: h_{i+1} = (h_i - c_i*B^(k-1))*B + c_{i+k}
+    bk = pow(WINNOW_BASE, k - 1, WINNOW_MOD)
+    h = 0
+    for c in text[:k]:
+        h = (h * WINNOW_BASE + ord(c)) % WINNOW_MOD
+    hashes = [h]
+    for i in range(n - k):
+        # python % always yields the canonical nonnegative residue, so the
+        # subtraction term needs no explicit wrap
+        h = ((h - ord(text[i]) * bk) * WINNOW_BASE + ord(text[i + k])) % WINNOW_MOD
+        hashes.append(h)
+    if len(hashes) <= w:
+        return sorted({min(hashes)})
+    picks = set()
+    for s in range(len(hashes) - w + 1):
+        win = hashes[s : s + w]
+        m = min(win)
+        # rightmost minimal hash (the paper's robust-winnowing tie-break)
+        picks.add(win[len(win) - 1 - win[::-1].index(m)])
+    return sorted(picks)
+
+
+def winnow_fingerprints_udf(k: int = DEFAULT_WINNOW_K, w: int = DEFAULT_WINNOW_W):
+    """pandas UDF: text -> array<long> winnowing fingerprint set (sorted,
+    distinct). Null text -> null; text shorter than k -> empty array."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _winnow(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _np_winnow(t, k, w))
+
+    return _winnow
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_WINNOW_K,
+    w: int = DEFAULT_WINNOW_W,
+    out_col: str = "winnow_fp",
+) -> DataFrame:
+    return df.withColumn(out_col, winnow_fingerprints_udf(k, w)(F.col(text_col)))
+
+
 # --- language id (stopword-profile heuristic, pure Column math) -----------------
 
 LANG_PROFILES = {
