@@ -449,3 +449,49 @@ def test_winnowing_fingerprints(spark):
     assert set(out[1]) & set(out[2]), "winnowing guarantee violated"
     assert not set(out[1]) & set(out[3])
     assert out[4] is None and out[5] == []
+
+
+def test_langid_cavnar_trenkle_ngram(spark):
+    """The REAL n-gram lang-ID heuristic (Cavnar-Trenkle 1994): profiles
+    trained with one Spark agg; out-of-place rank distance via a broadcast
+    profile join. Evaluated on a corpus with genuinely distinct languages
+    (the driver's synthetic `documents` table draws every lang label from
+    ONE shared vocabulary, so no content-based classifier can track its
+    labels — the oracled stopword row checks prediction parity, not label
+    accuracy). Train on even ids, score the held-out odd ids."""
+    import numpy as np
+
+    from tiledspark.textops import langid_ngram_predict, train_char_ngram_profiles
+
+    pools = {
+        "en": ("the quick brown fox jumps over lazy dogs while children play "
+               "outside in the garden and birds sing through morning light").split(),
+        "de": ("der schnelle braune fuchs springt ueber faule hunde waehrend "
+               "kinder draussen im garten spielen und voegel morgens singen").split(),
+        "fr": ("le renard brun rapide saute par dessus les chiens paresseux "
+               "pendant que les enfants jouent dehors dans le jardin").split(),
+        "es": ("el zorro marron rapido salta sobre los perros perezosos "
+               "mientras los ninos juegan afuera en el jardin cantando").split(),
+        "nl": ("de snelle bruine vos springt over luie honden terwijl "
+               "kinderen buiten in de tuin spelen en vogels zingen").split(),
+    }
+    rng = np.random.default_rng(7)
+    rows = []
+    i = 0
+    for lang, pool in sorted(pools.items()):
+        for _ in range(24):
+            rows.append((i, lang, " ".join(rng.choice(pool, 40))))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    profiles = train_char_ngram_profiles(docs)
+    assert set(profiles) == set(pools) and all(len(v) > 50 for v in profiles.values())
+    assert profiles == train_char_ngram_profiles(docs), "training must be deterministic"
+
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    p2 = train_char_ngram_profiles(train)
+    s2 = test.select("doc_id", "lang").join(langid_ngram_predict(test, p2), "doc_id")
+    n = s2.count()
+    acc = s2.where(F.col("lang_pred") == F.col("lang")).count() / n
+    assert n == 60 and acc >= 0.95, f"held-out accuracy {acc}"
