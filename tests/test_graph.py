@@ -91,3 +91,30 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             for r in connected_components(_edges(spark, sorted(pairs))).collect()
         }
         assert got == expect, f"seed {seed}: {got} != {expect}"
+
+
+def test_dedup_keepers_over_embedding_pairs(spark):
+    """The components op composes with the OTHER near-dup modality: keeper
+    selection over embedding-cosine pairs (vector.py) — a cluster of three
+    mutually-near vectors collapses to one survivor even if only two of the
+    three pairs were surfaced."""
+    import numpy as np
+    import pandas as pd
+
+    from tiledspark.vector import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((20, 16)).astype(np.float64)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    rows.append((20, (base[5] * 1.001).tolist()))  # near dup of 5
+    rows.append((21, (base[5] * 0.999).tolist()))  # near dup of 5 and 20
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    pairs = embedding_near_dup_pairs(df, emb_col="embedding", dim=16, min_cos=0.99)
+    kept = dedup_keepers(
+        df, pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    assert 5 in ids and not {20, 21} & set(ids)
+    assert len(ids) == 20
