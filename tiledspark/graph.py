@@ -29,8 +29,18 @@ narrow.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+
+class ConvergenceWarning(UserWarning):
+    """Emitted when connected_components exits via max_iter with labels
+    still changing — the returned labels are partially converged and a
+    downstream dedup would under-dedup (ADVICE r5: silent on a
+    diameter > max_iter graph). Callers that must not tolerate this should
+    promote it to an error via warnings.simplefilter("error", ...)."""
 
 
 def connected_components(
@@ -51,6 +61,7 @@ def connected_components(
         sym.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
 
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -76,9 +87,38 @@ def connected_components(
         # localCheckpoint materializes the round (truncating lineage) AND
         # fires the observation — one job per round, no separate count()
         labels = new_labels.localCheckpoint()
-        if not (obs.get["changed"] or 0):
+        changed = int(obs.get["changed"] or 0)
+        if not changed:
             break
+    if changed:
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} with "
+            f"{changed} labels still changing — result is PARTIALLY "
+            "converged (graph diameter exceeds max_iter); raise max_iter "
+            "or switch to the Kiveris small-star/large-star variant",
+            ConvergenceWarning,
+            stacklevel=2,
+        )
     return labels
+
+
+def dedup_keepers_with_labels(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> tuple[DataFrame, DataFrame]:
+    """Like dedup_keepers, but ALSO returns the (id, comp) component labels
+    the keeper selection was derived from, so callers needing component
+    stats (e.g. jobs/dedup_corpus.py's n_components line) reuse the one
+    localCheckpoint-ed fixpoint instead of running the multi-round CC job
+    twice (ADVICE r5 / VERDICT r5 #3). Returns (keepers, labels)."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.where(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti"), comp
 
 
 def dedup_keepers(
@@ -92,8 +132,5 @@ def dedup_keepers(
     connected component (the min id), every other component member dropped,
     non-paired docs kept as-is. The anti-join ships only (id, comp) pairs —
     document payloads never enter the dedup shuffle."""
-    comp = connected_components(pairs, src, dst)
-    losers = comp.where(F.col("comp") != F.col("id")).select(
-        F.col("id").alias(id_col)
-    )
-    return docs.join(losers, id_col, "left_anti")
+    kept, _ = dedup_keepers_with_labels(docs, pairs, id_col, src, dst)
+    return kept

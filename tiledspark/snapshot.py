@@ -31,6 +31,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
@@ -232,12 +233,21 @@ class SnapshotStore:
             # their sum; on a cluster the two jobs simply share the pool.
             # (A single-action union write was rejected: index rows would
             # null-pad the full data schema inside the store's leaf files.)
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                f_data = ex.submit(_write_data)
-                f_index = ex.submit(_write_index)
-                f_data.result()
-                f_index.result()
-            os.rename(idx_tmp, idx_dir)
+            renamed = False
+            try:
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    f_data = ex.submit(_write_data)
+                    f_index = ex.submit(_write_index)
+                    f_data.result()
+                    f_index.result()
+                os.rename(idx_tmp, idx_dir)
+                renamed = True
+            finally:
+                # a failed commit must not leave the .inflight staging dir
+                # behind — repeated failures would accumulate orphan dirs
+                # under the store root (ADVICE r5)
+                if not renamed and os.path.isdir(idx_tmp):
+                    shutil.rmtree(idx_tmp, ignore_errors=True)
         else:
             _write_data()
 
