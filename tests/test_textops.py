@@ -436,6 +436,28 @@ def test_winnowing_fingerprints(spark):
         picks.add(win[len(win) - 1 - win[::-1].index(m)])
     assert _np_winnow(txt, k, w) == sorted(picks)
 
+    # (a') tie/duplicate stress for the r6 vectorized kernel: repetitive
+    # text maximizes equal-hash windows, where the value-set == positional
+    # tie-break equivalence has to hold
+    for rep in ("ababababab" * 30, "aaaa" * 100, ("xyz" * 7 + "q") * 20):
+        for kk, ww in ((8, 4), (3, 2), (2, 5)):
+            d = []
+            for i in range(len(rep) - kk + 1):
+                h = 0
+                for c in rep[i : i + kk]:
+                    h = (h * WINNOW_BASE + ord(c)) % WINNOW_MOD
+                d.append(h)
+            if len(d) <= ww:
+                exp = sorted({min(d)})
+            else:
+                ps = set()
+                for s in range(len(d) - ww + 1):
+                    win = d[s : s + ww]
+                    m = min(win)
+                    ps.add(win[len(win) - 1 - win[::-1].index(m)])
+                exp = sorted(ps)
+            assert _np_winnow(rep, kk, ww) == exp
+
     # (b)+(c)+(d) through the Spark surface
     shared = "thequickbrownfoxjumpedhigh"  # len 26 >= w + k - 1 = 11
     a = "zzzz" + shared + "qqqqqqqqqqqq"
