@@ -180,7 +180,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     # the operator already joins shingle sets to compute exact_jaccard —
     # its integer (n_inter, n_union) columns ARE the driver surface (no
     # second shingle pass / join here)
-    pairs = lsh_candidate_pairs(un, "doc_id", est_threshold=0.2)
+    # bucket_cap=None: this row's oracle derives the EXHAUSTIVE qualifying
+    # set, so the operator must run uncapped — the default cap truncates to
+    # the lowest ids per bucket, which would silently drop the high-id
+    # (+30M) planted rows first if any bucket ever overflowed at a larger
+    # corpus (ADVICE r5). Measured sf0.1 max bucket = 4, so this is also
+    # perf-free at bench scale.
+    pairs = lsh_candidate_pairs(un, "doc_id", est_threshold=0.2, bucket_cap=None)
     return (
         pairs.where(
             F.col("n_inter").cast("double") >= F.lit(0.5) * F.col("n_union").cast("double")
@@ -232,7 +238,11 @@ def dedup_simhash(spark, sf_dir):
         (F.col("doc_id") + _SH_PLANT_BASE).alias("doc_id"), "text"
     )
     un = d.unionByName(planted)
-    pairs = simhash_near_pairs(un, "doc_id", max_hamming=8)
+    # bucket_cap=None for the same reason as dedup_minhash_lsh: the
+    # byte-identical stratum MUST all surface to match the text-equality
+    # oracle, and capped buckets drop the high-id (+40M) planted rows first
+    # (ADVICE r5)
+    pairs = simhash_near_pairs(un, "doc_id", max_hamming=8, bucket_cap=None)
     fp = un.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
     return (
         pairs.join(fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a")), "id_a")

@@ -201,18 +201,24 @@ def lsh_candidate_pairs(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     est_threshold: float = 0.5,
-    bucket_cap: int = 1000,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """-> (id_a, id_b, est_jaccard, exact_jaccard) for near-duplicate pairs
     surfaced by banded MinHash LSH (id_a < id_b, deterministic).
 
     Oversized buckets are truncated to bucket_cap rows (deterministically, by
-    _id order); call lsh_capped_buckets for the report of what was capped."""
+    _id order); call lsh_capped_buckets for the report of what was capped.
+    Pass bucket_cap=None to disable truncation (required when the result
+    must equal an exhaustive oracle — truncation keeps the LOWEST ids per
+    bucket, so high-id planted rows are dropped first, ADVICE r5)."""
     banded = _banded_ids(df, id_col, text_col, k, num_perm, bands)
 
     # cap pathological buckets (degenerate/boilerplate content)
-    w = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
-    banded = banded.withColumn("_bn", F.row_number().over(w)).where(F.col("_bn") <= bucket_cap)
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
+        banded = banded.withColumn("_bn", F.row_number().over(w)).where(
+            F.col("_bn") <= bucket_cap
+        )
 
     a = banded.select(
         F.col("band_idx").alias("bi"), F.col("band_hash").alias("bh"),
