@@ -519,6 +519,55 @@ def main() -> None:
         gset = {tuple(sorted(r.items())) for r in golden["rows"]}
         nset = {tuple(sorted(r.items())) for r in rows}
         return round(len(gset & nset) / max(len(gset | nset), 1), 6)
+    def _ngram_maxdf_experiment() -> dict | None:
+        """UNTIMED measurement (VERDICT r5 #8): the max_df knob's claimed
+        candidate-set control under boilerplate, measured instead of argued.
+        A fixed 12-word boilerplate tail is appended to every 5th document
+        — each boilerplate word-3-shingle then has document frequency
+        n_docs/5, and the uncapped inverted-index join must materialize
+        ~C(n_docs/5, 2) candidate pairs per shared shingle before dedup.
+        max_df=50 drops exactly those postings from candidate GENERATION,
+        leaving the organic near-dup candidates. Both counts + wall times
+        recorded; runs AFTER the timed suite so the headline stays
+        comparable across rounds."""
+        try:
+            from tiledspark.textops import _shingle_candidates
+
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).select("doc_id", "text")
+            boiler = (
+                " all rights reserved terms of service privacy policy"
+                " cookie settings subscribe to our newsletter"
+            )
+            tagged = docs.select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(boiler)),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+            t0 = time.perf_counter()
+            n_unc = _shingle_candidates(tagged, "doc_id")[1].count()
+            t_unc = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n_cap = _shingle_candidates(tagged, "doc_id", max_df=50)[1].count()
+            t_cap = round(time.perf_counter() - t0, 3)
+            return {
+                "n_docs": docs.count(),
+                "boilerplate_every": 5,
+                "max_df": 50,
+                "candidates_uncapped": n_unc,
+                "candidates_max_df": n_cap,
+                "uncapped_sec": t_unc,
+                "max_df_sec": t_cap,
+            }
+        except Exception as e:  # noqa: BLE001 — attestation must not sink the bench
+            sys.stderr.write(f"maxdf experiment failed: {e}\n")
+            return None
+
     result = {
         "metric": "docs/sec tiled+joined (headline suite wall time)",
         "value": total,
@@ -538,6 +587,7 @@ def main() -> None:
         "cpu_calibration_sec": cpu_calib,
         "pipeline_only": pipeline_only,
         "tree_golden_match_rate": None if pipeline_only else _tree_golden_match(),
+        "ngram_maxdf": None if pipeline_only else _ngram_maxdf_experiment(),
     }
     if snapshot_diff_layers:
         result["snapshot_diff_layers"] = snapshot_diff_layers

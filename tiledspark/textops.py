@@ -277,6 +277,40 @@ def lsh_candidate_pairs(
     )
 
 
+def _shingle_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The inverted-index blocking stage of ngram_jaccard_pairs, shared
+    with the bench's max_df experiment: -> (sh, cand) where sh is
+    (_id, shset) and cand the DISTINCT (id_a, id_b) candidate pairs from
+    joining (xxhash64(shingle), id) postings, optionally dropping shingles
+    with document frequency > max_df from candidate generation."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles_expr(F.col(text_col), k)).alias("shset"),
+    )
+    post = sh.select("_id", F.explode("shset").alias("s")).select(
+        "_id", F.xxhash64("s").alias("sh")
+    )
+    if max_df is not None:
+        w = Window.partitionBy("sh")
+        post = post.withColumn("_df", F.count(F.lit(1)).over(w)).where(
+            F.col("_df") <= max_df
+        ).drop("_df")
+    cand = (
+        post.select(F.col("sh"), F.col("_id").alias("id_a"))
+        .join(post.select(F.col("sh"), F.col("_id").alias("id_b")), "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return sh, cand
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -306,25 +340,7 @@ def ngram_jaccard_pairs(
     near-dups at any realistic threshold. None = exhaustive (small corpora
     / oracle mode). Counts (n_inter, n_union) are emitted as integers so
     the driver's value hash never sits on a float-rounding boundary."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles_expr(F.col(text_col), k)).alias("shset"),
-    )
-    post = sh.select("_id", F.explode("shset").alias("s")).select(
-        "_id", F.xxhash64("s").alias("sh")
-    )
-    if max_df is not None:
-        w = Window.partitionBy("sh")
-        post = post.withColumn("_df", F.count(F.lit(1)).over(w)).where(
-            F.col("_df") <= max_df
-        ).drop("_df")
-    cand = (
-        post.select(F.col("sh"), F.col("_id").alias("id_a"))
-        .join(post.select(F.col("sh"), F.col("_id").alias("id_b")), "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    sh, cand = _shingle_candidates(df, id_col, text_col, k, max_df)
     out = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("shset").alias("sh_a")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("shset").alias("sh_b")), "id_b")
