@@ -30,9 +30,10 @@ Fair-share pinning, shuffle partitions, and AQE advisory size are the
 round-3/4 protocol-of-record values (see run_scaling.py); only the
 run ORDER and the per-run stage set differ.
 
-Writes BENCH/PAIRS_r5.md + appends raw runs to BENCH/runs_r5.jsonl.
+Writes BENCH/PAIRS_<tag>.md + appends raw runs to BENCH/runs_<tag>.jsonl
+(--tag, default r5 for artifact continuity).
 
-Usage: python bench/run_scaling_pairs.py [--pairs 3]
+Usage: python bench/run_scaling_pairs.py [--pairs 3] [--tag r6]
 """
 
 from __future__ import annotations
@@ -62,6 +63,7 @@ def main() -> None:
     ap.add_argument("--shuffle", type=int, default=96)
     ap.add_argument("--advisory", default="16m")
     ap.add_argument("--cooldown", type=int, default=10)
+    ap.add_argument("--tag", default="r5", help="artifact tag: writes BENCH/PAIRS_<tag>.md + runs_<tag>.jsonl")
     args = ap.parse_args()
 
     common = {
@@ -71,7 +73,7 @@ def main() -> None:
         "SPARK_GRAFT_PIPELINE_ONLY": "1",
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    raw_path = os.path.join(REPO, "BENCH", "runs_r5.jsonl")
+    raw_path = os.path.join(REPO, "BENCH", f"runs_{args.tag}.jsonl")
 
     def one(master: str, pages: int, tag: str) -> dict | None:
         for attempt in range(3):
@@ -128,7 +130,7 @@ def main() -> None:
     med_adjacent = statistics.median(r["eff_adjacent"] for r in rows)
 
     lines = [
-        "# BENCH/PAIRS_r5.md — interleaved-pair scaling protocol (round 5)",
+        f"# BENCH/PAIRS_{args.tag}.md — interleaved-pair scaling protocol",
         "",
         f"Sequence (one session, idle-verified start): "
         + ", ".join([f"N{i // 2 + 1}" if i % 2 == 0 else f"4N{i // 2 + 1}"
@@ -162,7 +164,7 @@ def main() -> None:
         ),
         "",
     ]
-    out = os.path.join(REPO, "BENCH", "PAIRS_r5.md")
+    out = os.path.join(REPO, "BENCH", f"PAIRS_{args.tag}.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
     print(f"\nmedian bracketed eff={med_bracketed:.3f} adjacent={med_adjacent:.3f} -> {out}")
