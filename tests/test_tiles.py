@@ -137,3 +137,43 @@ def test_literal_ancestors_equal_general_path(spark):
     ).collect()
     for r in got:
         assert list(r["lit"]) == list(r["gen"])
+
+
+def test_extract_coords_decoy_parity(spark):
+    """extract_coords must implement EXACTLY the SPEC-PINNED grammar on
+    adversarial text: decoy "geo:" prefixes not followed by coordinates,
+    multiple decoys before a valid token, tokens at string start/end,
+    newlines, digit-count violations, and null/empty text. Oracle: Python
+    re.search with the same pattern. (Added for the round-6 locate-window
+    kernel experiment — kept after its revert because it pins the grammar
+    itself, independent of kernel choice.)"""
+    import re
+
+    from tiledspark.extract import GEO_RX, extract_coords
+
+    texts = [
+        "plain words no token at all",
+        "geo:1.234567,2.345678",                                    # token IS the text
+        "prefix geo:1.234567,2.345678 suffix",
+        "decoy geo:notnumbers then real geo:-12.000001,-123.456789 end",
+        "geo: geo:x geo:1.2,3.4 geo:55.000000,-4.999999",           # 3 decoys then valid
+        "geo:123.456789,1.000000 oops lat has 3 digits",            # invalid lat → no match
+        "geo:12.345678,1234.000000 lon 4 digits",                   # invalid lon → no match
+        "geo:1.234567,2.345678geo:9.999999,8.888888",               # adjacent tokens
+        "line one\ngeo:7.000001,8.000002\nline three",              # newlines
+        "ends with decoy geo:",
+        "geo:-1.111111,2.222222",                                   # negative lat at start
+        "geo:1.23456,7.890123 five decimals is a decoy",            # 5 decimals → decoy
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["text"]: (r["lat"], r["lon"])
+        for r in extract_coords(df).select("text", "lat", "lon").collect()
+    }
+    rx = re.compile(GEO_RX)
+    for t in texts:
+        m = rx.search(t) if t is not None else None
+        want = (float(m.group(1)), float(m.group(2))) if m else (None, None)
+        assert got[t] == want, (t, got[t], want)

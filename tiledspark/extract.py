@@ -33,6 +33,16 @@ def extract_coords(pages: DataFrame, text_col: str = "text") -> DataFrame:
     ONE regex pass per row: the matched token is parsed with cheap string
     ops (3 separate regexp evals measured ~3x the scan cost at 4M rows —
     java.util.regex dominates this stage's CPU).
+
+    Tried and REVERTED (round 6, bench/extract_ab_probe.py): replacing the
+    full-text regex scan with locate("geo:") + an anchored 32-char-window
+    validation (full-regex fallback for decoy prefixes). Exact parity held
+    (tests/test_tiles.py::test_extract_coords_decoy_parity pins the
+    grammar on adversarial decoys either way) but the "fast" path measured
+    0.90x — SLOWER — at 4M rows: java.util.regex compiles a leading
+    literal like "geo:" into a Boyer–Moore prefix scan, so regexp_extract
+    already skips non-matching text at indexOf speed and the extra
+    locate/substring/branch work is pure overhead. Don't retry.
     """
     token = F.regexp_extract(F.col(text_col), GEO_RX, 0)
     parts = F.split(F.substring(token, 5, 64), ",")
