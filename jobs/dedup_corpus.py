@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-jaccard", type=float, default=0.5)
     ap.add_argument("--est-threshold", type=float, default=0.2)
+    ap.add_argument("--cc-impl", choices=("propagate", "star"), default="propagate",
+                    help="connected-components variant: min-label propagation "
+                         "(diameter rounds; near-dup graphs are shallow) or "
+                         "Kiveris star (O(log n) rounds, any topology)")
     args = ap.parse_args()
 
     from tiledspark.graph import dedup_keepers_with_labels
@@ -70,7 +74,9 @@ def main() -> None:
     # from the SAME fixpoint run feeds the n_components stat — the CC job
     # (the most iterative phase at corpus scale) runs exactly once
     # (VERDICT r5 #3 / ADVICE r5).
-    kept, labels = dedup_keepers_with_labels(exact_docs, pairs, id_col=idc)
+    kept, labels = dedup_keepers_with_labels(
+        exact_docs, pairs, id_col=idc, impl=args.cc_impl
+    )
     kept = kept.localCheckpoint()
     n_kept = kept.count()
     n_components = labels.select("comp").distinct().count() if n_pairs else 0

@@ -158,3 +158,99 @@ def test_cc_warns_on_max_iter_exhaustion(spark):
         warnings.simplefilter("always")
         connected_components(e, max_iter=30).collect()
         assert not any(issubclass(x.category, ConvergenceWarning) for x in w)
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    """The Kiveris large-star/small-star variant must produce EXACTLY the
+    min-label contract on the same seeded random graphs the simple
+    propagation is oracled on."""
+    import numpy as np
+
+    from tiledspark.graph import connected_components_star
+
+    for seed in (3, 17, 92):
+        rng = np.random.default_rng(seed)
+        n, m = 40, 45
+        pairs = set()
+        while len(pairs) < m:
+            a, b = (int(v) for v in rng.integers(0, n, 2))
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for p in pairs for v in p}
+        expect = {v: find(v) for v in sorted(touched)}
+
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components_star(_edges(spark, sorted(pairs))).collect()
+        }
+        assert got == expect, f"seed {seed}: {got} != {expect}"
+
+
+def test_star_cc_deep_chain_needs_log_rounds_not_diameter(spark):
+    """The escalation claim itself: a diameter-120 chain closes under a
+    max_iter far below the diameter (log-round contraction), where
+    min-label propagation at the same budget only WARNS and returns
+    partial labels."""
+    import warnings as w
+
+    from tiledspark.graph import ConvergenceWarning, connected_components_star
+
+    n = 120
+    e = _edges(spark, [(i, i + 1) for i in range(n)])
+    with w.catch_warnings():
+        w.simplefilter("error", ConvergenceWarning)  # any warning -> failure
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components_star(e, max_iter=12).collect()
+        }
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_star_cc_direction_and_dup_invariance(spark):
+    from tiledspark.graph import connected_components_star
+
+    a = connected_components_star(_edges(spark, [(5, 3), (3, 9), (9, 3)])).collect()
+    b = connected_components_star(_edges(spark, [(3, 5), (9, 3), (3, 9)])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r["comp"] for r in a} == {3}
+
+
+def test_star_cc_empty_edges(spark):
+    from tiledspark.graph import connected_components_star
+
+    assert connected_components_star(_edges(spark, [])).count() == 0
+
+
+def test_dedup_keepers_star_impl_matches_propagate(spark):
+    """The job-level --cc-impl switch: both variants must select identical
+    keepers (the label contract is the same fixpoint)."""
+    import pandas as pd
+
+    from tiledspark.graph import dedup_keepers_with_labels
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(10)), "text": list("abcdefghij")}),
+        "doc_id long, text string",
+    )
+    pairs = _edges(spark, [(0, 1), (1, 2), (5, 6), (8, 9), (9, 5)])
+    out = {}
+    for impl in ("propagate", "star"):
+        kept, labels = dedup_keepers_with_labels(docs, pairs, impl=impl)
+        out[impl] = (
+            sorted(r["doc_id"] for r in kept.collect()),
+            sorted(map(tuple, labels.collect())),
+        )
+    assert out["propagate"] == out["star"]
+    assert out["star"][0] == [0, 3, 4, 5, 7]  # 5 survives the 5-6-8-9 comp
