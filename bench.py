@@ -266,7 +266,12 @@ def main() -> None:
         # fork from executors afterwards and inherit the executor affinity
 
     if src == "expr":
-        pages = synth.pages_df(spark, n_pages)
+        # SPARK_GRAFT_RANGE_PARTS: wave-count knob for the generate+extract
+        # stage (see synth.pages_df). Unset = Spark default (one wave).
+        rp_env = os.environ.get("SPARK_GRAFT_RANGE_PARTS")
+        pages = synth.pages_df(
+            spark, n_pages, num_partitions=int(rp_env) if rp_env else None
+        )
     else:
         pages = spark.read.parquet(synth.ensure_pages(BENCH_CACHE, n_pages))
 

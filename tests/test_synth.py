@@ -51,3 +51,16 @@ def test_zones_schema():
     # donut has a hole
     holes = z.column("holes").to_pylist()
     assert any(len(h) > 0 for h in holes)
+
+
+def test_pages_df_partition_knob_is_scheduling_only(spark):
+    """num_partitions (the wave-count knob, SPARK_GRAFT_RANGE_PARTS) must
+    never change the generated rows — content is a pure function of row id.
+    Guards the scaling/waves A/B's 'identical data in both arms' claim."""
+    base = synth.pages_df(spark, 2000)
+    parted = synth.pages_df(spark, 2000, num_partitions=7)
+    assert parted.rdd.getNumPartitions() == 7
+    cols = ["url", "warc_ts", "text", "lang"]
+    a = sorted(map(tuple, base.select(*cols).collect()))
+    b = sorted(map(tuple, parted.select(*cols).collect()))
+    assert a == b

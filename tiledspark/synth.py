@@ -328,7 +328,7 @@ def ensure_diff_batches(
 
 # --- in-executor generator (scaling corpora) ------------------------------------
 
-def pages_df(spark, n: int, seed: int = SEED_PAGES):
+def pages_df(spark, n: int, seed: int = SEED_PAGES, num_partitions: int | None = None):
     """Deterministic pages DataFrame generated IN EXECUTORS with pure Column
     exprs — no driver materialization, no parquet, no shared-disk scan.
 
@@ -361,7 +361,16 @@ def pages_df(spark, n: int, seed: int = SEED_PAGES):
     def u01(tag):
         return (F.pmod(h(tag), F.lit(1_000_000)).cast("double")) / 1e6
 
-    df = spark.range(n).withColumn("_uid", F.pmod(F.col("id"), F.lit(n_urls)))
+    # num_partitions controls the WAVE COUNT of the generate+extract map
+    # stage (spark.range defaults to defaultParallelism = one task per slot,
+    # a single wave whose stragglers idle every other slot for the tail).
+    # Row content depends only on `id`, so partitioning never changes the
+    # data — it is purely a scheduling knob.
+    if num_partitions is not None:
+        rng = spark.range(0, n, 1, num_partitions)
+    else:
+        rng = spark.range(n)
+    df = rng.withColumn("_uid", F.pmod(F.col("id"), F.lit(n_urls)))
 
     # Zipf cluster index via inverse CDF: count boundaries <= u
     u_c = u01("cluster")
