@@ -120,7 +120,17 @@ def build_tile_tree(
     The golden tile-tree artifact (BASELINE.json: "golden tile-tree match rate
     100%"). Deterministic: pure function of the doc coordinates.
     """
-    counts = tile_counts_all_zooms(doc_points, z_max, z_base, max_docs).cache()
+    # Eager localCheckpoint, not cache(): the count table feeds FOUR
+    # downstream references (parent self-join, split broadcast, deep set,
+    # ancestor explode). A lazy cache() here never helped — the old code
+    # unpersisted before the caller's first action, so every reference
+    # re-derived counts from scratch, including the doc-scale deep branch
+    # (measured 1.36x slower at 1.2M docs). The checkpoint is O(tiles),
+    # never O(docs), and truncates the lineage exactly like graph.py's
+    # fixpoint frames.
+    counts = tile_counts_all_zooms(doc_points, z_max, z_base, max_docs).localCheckpoint(
+        eager=True
+    )
     merge_thresh = max_docs / 4.0
 
     parent = tiles.tile_parent_expr(F.col("tile_id"))
@@ -225,7 +235,8 @@ def build_tile_tree(
             state.alias("state"),
         )
     )
-    counts.unpersist()
+    # no unpersist: `out` is lazy and still reads the checkpointed blocks;
+    # they are freed with the RDD when `out` (and its plans) are GC'd
     return out
 
 
