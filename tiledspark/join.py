@@ -176,7 +176,12 @@ def spatial_join(
     # narrow before the cut: the join key and salt already did their job, so
     # the checkpoint write carries only what the two branches read
     cand = cand.select(doc_key, "lat", "lon", "zone_id", "is_boundary")
-    cand = cand.localCheckpoint(eager=False)
+    # EAGER (round-6 fix): with eager=False the checkpoint materialized at
+    # the caller's first action — AFTER zc.unpersist() below had already
+    # dropped the zone-cell cache, so the candidate build re-ran the whole
+    # polygon-cover kernel uncached. Eager materialization happens here,
+    # while the cache is still warm, and makes the late unpersist safe.
+    cand = cand.localCheckpoint(eager=True)
 
     interior = cand.where(~F.col("is_boundary")).select(doc_key, "lat", "lon", "zone_id")
 

@@ -289,6 +289,11 @@ def knn_cell_ring(
             )
             .where(F.col("rank") <= k)
             .select("query_id", "rank", F.col("_dk").alias(doc_key), "dist_m")
+            # eager, like every round's topk: the straggler scan must run
+            # WHILE the doc_cells cache is warm — lazily it would evaluate
+            # at the caller's action, after the unpersist below, recomputing
+            # the doc-scale projection uncached (round-6 audit)
+            .localCheckpoint(eager=True)
         )
         resolved_parts.append(brute)
 
