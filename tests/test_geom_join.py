@@ -237,3 +237,16 @@ def test_oracle_points_clear_of_polygon_edges():
             if within.any():
                 min_d = min(min_d, float(d[within].min()))
     assert min_d > 1e-9, f"a corpus point sits {min_d} from a ring edge"
+
+
+def test_spatial_join_candidates_checkpointed(spark, joined_inputs):
+    """Round-6 structural guard: the spatial join's interior/boundary
+    branches must both read the checkpointed candidate relation (LogicalRDD)
+    rather than re-expanding the candidate DAG per branch. NOTE: this pins
+    the plan SHAPE only — checkpoint eagerness (the round-6 fix: materialize
+    while the zone-cell cache is warm) is not observable from the plan; its
+    record is the A/B in commit 7920bc1 and BENCH/TIMELINE_r6.md."""
+    docs, zones = joined_inputs
+    out = spatial_join(spark, docs, zones)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:800]

@@ -79,3 +79,25 @@ def test_tree_golden_sf0001(spark, pages_path):
     assert digest == golden["sha256"], (
         f"tile tree diverged from golden ({len(rows)} rows vs {golden['n_rows']})"
     )
+
+
+def test_tree_count_table_lineage_cut(spark, pages_path):
+    """Round-6 regression guard for the unpersist-before-evaluation fix: the
+    returned tree plan must branch from the MATERIALIZED count table
+    (checkpoint scan), never re-derive the doc-scale count DAG per
+    reference. Before the fix the cache was unpersisted pre-action, so all
+    four downstream references recomputed from the docs scan (1.46x)."""
+    docs = _doc_points(spark, pages_path)
+    tree = build_tile_tree(docs, max_docs=64)
+    plan = tree._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:800]
+    # no reference may reach back past the checkpoint to the pages source
+    assert "parquet" not in plan.lower(), plan[:800]
+    # the discriminating assertion: pre-fix, every downstream reference
+    # re-expanded the count DAG (measured 6 Aggregate nodes, 4.5x plan
+    # size); post-fix the count table is one materialized relation and only
+    # the final rollup aggregates remain
+    assert plan.count("Aggregate") <= 2, (
+        f"{plan.count('Aggregate')} Aggregate nodes — count DAG re-derived "
+        f"per reference (lineage cut lost?)\n{plan[:800]}"
+    )
