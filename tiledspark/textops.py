@@ -125,6 +125,25 @@ def with_minhash(
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the session's parallelism before the
+    interpreted-HOF shingle/signature work.
+
+    Higher-order-function lambdas are interpreted per element (not
+    codegen'd), so the signature pass is CPU-bound on however many input
+    partitions the scan produced. A small single-file corpus arrives in ONE
+    32 MB split — measured round 7: the whole sf0.1 signature pass ran on
+    one core, 1.8 s of a 2.1 s pass serialized in shingle construction. A
+    100-TB scan arrives in thousands of splits and passes through untouched
+    (the gate only widens, never narrows, and costs no job — partition
+    count comes from the compiled plan)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _banded_ids(
     df: DataFrame,
     id_col: str,
@@ -147,7 +166,8 @@ def _banded_ids(
     # produce their whole text as the single shingle — so null text is the
     # only null-signature source on this path.)
     sig = with_minhash(
-        df.where(F.col(text_col).isNotNull()), text_col, k, num_perm
+        _ensure_parallelism(df.where(F.col(text_col).isNotNull())),
+        text_col, k, num_perm,
     ).select(F.col(id_col).alias("_id"), "minhash")
     return sig.select(
         "_id",
@@ -193,6 +213,55 @@ def lsh_capped_buckets(
     )
 
 
+def _candidate_pair_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_perm: int,
+    bands: int,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Lazy (id_a, id_b) LSH candidate pairs, id_a < id_b, deduplicated.
+
+    Round-7 shape (VERDICT r6 #1): the old a⋈b SELF-JOIN on (band_idx,
+    band_hash) planned as FOUR full corpus scans (each side of the band
+    join recomputed the signature, and at sf0.01 Catalyst broadcast an
+    entire banded corpus copy — at sf0.1 the broadcast/shuffle decision
+    flapped run-to-run, the measured 1.8x spread). Replaced with ONE pass:
+    group each band bucket, collect the sorted id array, and expand the
+    i<j pairs with higher-order functions — one signature computation, one
+    ids-only exchange (the groupBy), zero corpus-sized broadcasts."""
+    banded = _banded_ids(df, id_col, text_col, k, num_perm, bands)
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list("_id")).alias("ids")
+    )
+    # cap pathological buckets (degenerate/boilerplate content); ids are
+    # sorted ascending, so slice(1, cap) keeps the LOWEST ids — identical
+    # truncation semantics to the old row_number-ordered-by-_id cap
+    if bucket_cap is not None:
+        buckets = buckets.withColumn("ids", F.slice("ids", 1, bucket_cap))
+    buckets = buckets.where(F.size("ids") >= 2)
+    n = F.size("ids")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, n - i),
+                lambda b: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"),
+                    b.alias("id_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -210,35 +279,28 @@ def lsh_candidate_pairs(
     _id order); call lsh_capped_buckets for the report of what was capped.
     Pass bucket_cap=None to disable truncation (required when the result
     must equal an exhaustive oracle — truncation keeps the LOWEST ids per
-    bucket, so high-id planted rows are dropped first, ADVICE r5)."""
-    banded = _banded_ids(df, id_col, text_col, k, num_perm, bands)
+    bucket, so high-id planted rows are dropped first, ADVICE r5).
 
-    # cap pathological buckets (degenerate/boilerplate content)
-    if bucket_cap is not None:
-        w = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
-        banded = banded.withColumn("_bn", F.row_number().over(w)).where(
-            F.col("_bn") <= bucket_cap
-        )
+    Candidate pairs are materialized with an eager localCheckpoint (ids-only
+    — two longs per pair, volume bounded by bucket_cap's quadratic cap), so
+    the verify stage can (a) reference them twice without recomputing the
+    band exchange and (b) re-derive signatures + shingle sets for the
+    CANDIDATE DOCS ONLY via a semi join — at 100 TB the corpus is scanned
+    exactly twice (once to band, once column-pruned for the candidate
+    subset), versus the four full scans the round-6 self-join planned."""
+    pairs = _candidate_pair_frame(
+        df, id_col, text_col, k, num_perm, bands, bucket_cap
+    ).localCheckpoint(eager=True)
 
-    a = banded.select(
-        F.col("band_idx").alias("bi"), F.col("band_hash").alias("bh"),
-        F.col("_id").alias("id_a"),
-    )
-    b = banded.select(
-        F.col("band_idx").alias("bi"), F.col("band_hash").alias("bh"),
-        F.col("_id").alias("id_b"),
-    )
-    pairs = (
-        a.join(b, ["bi", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # rejoin signatures + shingles for the SURVIVING candidate pairs only
-    # (recomputed map-side; never shuffled with the band exchange)
-    sig = with_minhash(df, text_col, k, num_perm).select(
-        F.col(id_col).alias("_id"), "minhash", "_shingles"
-    )
+    # re-derive signatures + shingles for the surviving candidate DOCS only
+    # (semi join on the checkpointed ids — small by construction, so AQE
+    # broadcasts it; the full-corpus with_minhash pass of rounds 1-6 is gone)
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).dropDuplicates([id_col])
+    sig = with_minhash(
+        df.join(cand_ids, [id_col], "left_semi"), text_col, k, num_perm
+    ).select(F.col(id_col).alias("_id"), "minhash", "_shingles")
     pairs = (
         pairs.join(
             sig.select(
@@ -800,3 +862,152 @@ def langid_ngram_predict(
         F.min(F.struct(F.col("dist"), F.col("lang"))).alias("b")
     )
     return best.select(F.col("_id").alias(id_col), F.col("b.lang").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph/line-level exact dedup — corpus boilerplate removal (round 7,
+# VERDICT r6 #6). Real pretraining pipelines (CCNet-style) drop repeated
+# LINES across the corpus (nav menus, cookie banners, copyright footers),
+# not just whole-document duplicates — the one dedup granularity the engine
+# did not yet cover.
+
+
+def _doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, pos, line): trimmed, non-empty lines with their original
+    0-based position in the document. Narrow — posexplode only, no
+    exchange; blank/whitespace-only lines are normalization casualties
+    (dropped here and absent from the cleaned text)."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_raw"),
+        )
+        .withColumn("line", F.trim("_raw"))
+        .where(F.col("line") != "")
+        .drop("_raw")
+    )
+
+
+def line_document_frequency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_expr=None,
+) -> DataFrame:
+    """-> (line_fp, df, keeper_id): document frequency per distinct trimmed
+    non-empty line — the postings table boilerplate detection reads.
+
+    ONE exchange of (line_fp, _id) postings (map-side partial agg on the
+    count-distinct rewrite); documents never enter the shuffle. `fp_expr`
+    defaults to xxhash64 over the line (8-byte keys at 100 TB); the driver
+    oracle row passes md5 so DuckDB can reproduce the key exactly."""
+    lines = _doc_lines(df, id_col, text_col)
+    fp = (fp_expr or F.xxhash64)(F.col("line"))
+    return (
+        lines.select(fp.alias("line_fp"), "_id")
+        .groupBy("line_fp")
+        .agg(
+            F.count_distinct("_id").alias("df"),
+            F.min("_id").alias("keeper_id"),
+        )
+    )
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 10,
+    clean_col: str = "text_clean",
+    strategy: str = "auto",
+    array_limit: int = 4096,
+) -> DataFrame:
+    """Drop lines that appear in MORE THAN `max_df` distinct documents.
+
+    Adds three columns and NEVER mutates `text_col` (the per-url
+    byte-identity invariant the snapshot layer depends on):
+      - `clean_col`: trimmed non-boilerplate lines rejoined with '\\n'
+        ('' when the document has no surviving lines or null text)
+      - `n_lines`: trimmed non-empty line count (computed per-document
+        with native HOFs — no exchange)
+      - `n_lines_dropped`: lines removed as boilerplate
+
+    Scale shape — two physical strategies, both fed by ONE (fp, id)
+    postings exchange (line_document_frequency, keyed xxhash64):
+      - 'array' (boilerplate set small, the common high-threshold case):
+        collect the boiler fps into a single-row array, broadcast it, and
+        filter each document's lines with native HOFs — ZERO document-scale
+        exchange. Per-line cost is O(|boiler|) array_contains, so this is
+        gated at `array_limit`.
+      - 'join': explode → left join the boiler fps (AQE broadcasts when
+        small) → regroup kept lines by document (array_sort on (pos, line)
+        structs restores original order deterministically) → join back to
+        the input on id. Two document-scale exchanges, no per-line factor —
+        the 100-TB path when the boilerplate set is itself huge.
+    'auto' counts the boiler frame (a job over the already-checkpointed
+    postings agg — O(distinct boiler lines)) and picks.
+    """
+    boiler = (
+        line_document_frequency(df, id_col, text_col)
+        .where(F.col("df") > F.lit(max_df))
+        .select("line_fp")
+        .localCheckpoint(eager=True)
+    )
+    if strategy == "auto":
+        strategy = "array" if boiler.count() <= array_limit else "join"
+
+    trimmed = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.coalesce(F.size(trimmed), F.lit(0))
+
+    if strategy == "array":
+        arr = boiler.agg(F.collect_set("line_fp").alias("_boiler"))
+        kept = F.filter(
+            trimmed,
+            lambda x: ~F.array_contains(F.col("_boiler"), F.xxhash64(x)),
+        )
+        return (
+            df.crossJoin(F.broadcast(arr))
+            .withColumn("n_lines", n_lines)
+            .withColumn(
+                "n_lines_dropped", n_lines - F.coalesce(F.size(kept), F.lit(0))
+            )
+            .withColumn(clean_col, F.coalesce(F.concat_ws("\n", kept), F.lit("")))
+            .drop("_boiler")
+        )
+
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    lines = _doc_lines(df, id_col, text_col).withColumn(
+        "line_fp", F.xxhash64("line")
+    )
+    marked = lines.join(
+        boiler.withColumn("_b", F.lit(True)), ["line_fp"], "left"
+    )
+    agg = marked.groupBy("_id").agg(
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("_nd"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    # when() without otherwise -> null for boiler lines;
+                    # collect_list skips nulls, so only kept lines regroup
+                    F.collect_list(
+                        F.when(F.col("_b").isNull(), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("_clean"),
+    )
+    return (
+        df.join(agg, df[id_col] == agg["_id"], "left")
+        .drop("_id")
+        .withColumn("n_lines", n_lines)
+        .withColumn("n_lines_dropped", F.coalesce(F.col("_nd"), F.lit(0)))
+        .withColumn(clean_col, F.coalesce(F.col("_clean"), F.lit("")))
+        .drop("_nd", "_clean")
+    )
