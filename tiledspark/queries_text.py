@@ -125,22 +125,110 @@ def text_stats(spark, sf_dir):
     ).drop("_wf")
 
 
+_BOILER_1 = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+_BOILER_2 = "COPYRIGHT 2026 EXAMPLE CORP"
+_BOILER_3 = "SHARE THIS ARTICLE"
+
+
 @query(
     "dedup_exact",
-    """
-    SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 30000000,
+             '{_BOILER_1}' || chr(10) || text ||
+             CASE WHEN doc_id < 25 THEN chr(10) || '{_BOILER_2}' ELSE '' END
+      FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 31000000, '{_BOILER_3}' || chr(10) || text
+      FROM documents WHERE doc_id < 10
+    ),
+    lines AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id,
+               unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+               unnest(list_transform(string_split(text, chr(10)), x -> trim(x))) AS line
+        FROM corpus)
+      WHERE line <> ''
+    ),
+    dfreq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+    clean AS (
+      SELECT l.doc_id AS id,
+             md5(coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                          FILTER (WHERE f.df <= 10), '')) AS fp,
+             count(*) AS n_a,
+             count(*) FILTER (WHERE f.df > 10) AS n_b
+      FROM lines l JOIN dfreq f USING (line)
+      GROUP BY l.doc_id
+    )
+    SELECT 'doc' AS granularity, MIN(doc_id) AS id, md5(text) AS fp,
+           COUNT(*) AS n_a, CAST(NULL AS BIGINT) AS n_b
     FROM documents GROUP BY md5(text)
+    UNION ALL
+    SELECT 'clean' AS granularity, c.doc_id AS id,
+           coalesce(cl.fp, md5('')) AS fp,
+           coalesce(cl.n_a, 0) AS n_a, coalesce(cl.n_b, 0) AS n_b
+    FROM corpus c LEFT JOIN clean cl ON cl.id = c.doc_id
     """,
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on content fingerprint; keeper = min doc_id.
-    The map-side partial agg makes this one shuffle of (fp, count) pairs —
-    at 100 TB the shuffle carries fingerprints, never the documents."""
+    """Exact dedup at BOTH granularities the engine supports, as a tagged
+    union (the lang_id_predict precedent — one driver row, two operators,
+    registry stays at the 50-row budget):
+
+    - granularity='doc': hash-groupBy on the content fingerprint; keeper =
+      min doc_id (id), n_a = copy count. Map-side partial agg makes this one
+      shuffle of (fp, count) pairs — at 100 TB the shuffle carries
+      fingerprints, never the documents.
+    - granularity='clean': the round-7 paragraph/line-level boilerplate
+      dedup (textops.drop_boilerplate_lines) over a PLANTED corpus —
+      documents plus 40 copies carrying a df=40 header line, 25 of them
+      also a df=25 footer, and 10 copies carrying a df=10 line that sits
+      exactly ON the max_df=10 boundary (kept: the rule is df > max_df).
+      id = doc_id, fp = md5(text_clean) — the fingerprint pins the exact
+      per-line drop/keep decisions AND the order-preserving reassembly;
+      n_a = n_lines, n_b = n_lines_dropped. DuckDB re-derives the whole
+      pipeline (trim/split, document frequency, FILTERed ordered
+      string_agg) in SQL. The original `text` column is never mutated —
+      the operator adds text_clean.
+    """
+    from tiledspark.textops import drop_boilerplate_lines
+
     d = table(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
-        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+    doc = d.groupBy(F.md5(F.col("text").cast("binary")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_a"), F.min("doc_id").alias("id")
+    ).select(
+        F.lit("doc").alias("granularity"), "id", "fp", "n_a",
+        F.lit(None).cast("long").alias("n_b"),
     )
+    base = d.select("doc_id", "text")
+    p1 = d.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(
+            F.lit(_BOILER_1 + "\n"),
+            F.col("text"),
+            F.when(F.col("doc_id") < 25, F.lit("\n" + _BOILER_2)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    p2 = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 31_000_000).alias("doc_id"),
+        F.concat(F.lit(_BOILER_3 + "\n"), F.col("text")).alias("text"),
+    )
+    corpus = base.unionByName(p1).unionByName(p2)
+    # strategy='auto' resolves to the zero-doc-shuffle 'array' path here
+    # (2 boiler lines); tests pin array == join on planted corpora
+    cleaned = drop_boilerplate_lines(corpus, max_df=10)
+    clean = cleaned.select(
+        F.lit("clean").alias("granularity"),
+        F.col("doc_id").alias("id"),
+        F.md5(F.col("text_clean").cast("binary")).alias("fp"),
+        F.col("n_lines").cast("long").alias("n_a"),
+        F.col("n_lines_dropped").cast("long").alias("n_b"),
+    )
+    return doc.unionByName(clean)
 
 
 @query(

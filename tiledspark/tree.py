@@ -236,7 +236,12 @@ def build_tile_tree(
         )
     )
     # no unpersist: `out` is lazy and still reads the checkpointed blocks;
-    # they are freed with the RDD when `out` (and its plans) are GC'd
+    # they are freed with the RDD when `out` (and its plans) are GC'd.
+    # Long-lived-service caveat (ADVICE r6): each call parks O(tiles)
+    # checkpoint blocks in the block manager until the driver GCs the
+    # returned plan — callers that loop build_tile_tree in one session
+    # should drop references to the previous result (or materialize it
+    # and let the plan go) rather than accumulating live DataFrames.
     return out
 
 
