@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -267,11 +268,21 @@ def main() -> None:
 
     if src == "expr":
         # SPARK_GRAFT_RANGE_PARTS: wave-count knob for the generate+extract
-        # stage (see synth.pages_df). Unset = Spark default (one wave).
+        # stage (see synth.pages_df). Round-7 default: FOUR waves per slot
+        # count (A/B BENCH/WAVES_AB_r7waves.md: interleaved 3-pair median
+        # 96parts/1wave = 1.034, never below 0.999, and 1.234 on the pair
+        # where the single-wave arm hit a degraded-host patch — multi-wave
+        # bounds the straggler tail at ~1/4 wave for free). Proportional to
+        # slots on BOTH scaling sides, so the N:4N protocol stays fair.
         rp_env = os.environ.get("SPARK_GRAFT_RANGE_PARTS")
-        pages = synth.pages_df(
-            spark, n_pages, num_partitions=int(rp_env) if rp_env else None
-        )
+        slots = None
+        m = re.match(r"local-cluster\[(\d+),(\d+),", master)
+        if m:
+            slots = int(m.group(1)) * int(m.group(2))
+        elif re.match(r"local\[(\d+)\]", master):
+            slots = int(re.match(r"local\[(\d+)\]", master).group(1))
+        rp = int(rp_env) if rp_env else (4 * slots if slots else None)
+        pages = synth.pages_df(spark, n_pages, num_partitions=rp)
     else:
         pages = spark.read.parquet(synth.ensure_pages(BENCH_CACHE, n_pages))
 

@@ -622,3 +622,22 @@ def test_drop_boilerplate_no_boiler_is_identity_modulo_trim(spark):
             for r in drop_boilerplate_lines(df, max_df=1, strategy=strat).collect()
         }
         assert out == {1: ("a b c\nd e f", 0), 2: ("g h i", 0)}
+
+
+def test_ensure_parallelism_gate(spark):
+    """Round 7: a narrow (single-split) input is fanned out to the session
+    parallelism before the interpreted-HOF signature pass; an already-wide
+    input passes through untouched (the gate only widens)."""
+    import pandas as pd
+
+    from tiledspark.textops import _ensure_parallelism
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100), "text": ["a b c"] * 100}),
+        "doc_id long, text string",
+    ).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    widened = _ensure_parallelism(df)
+    assert widened.rdd.getNumPartitions() == target
+    wide = df.repartition(target * 2)
+    assert _ensure_parallelism(wide).rdd.getNumPartitions() == target * 2

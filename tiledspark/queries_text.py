@@ -74,6 +74,8 @@ def _winnow_oracle_ctes() -> str:
            ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
                / LEN(string_split(text, ' ')), 6) AS ttr,
            md5(text) AS fp,
+           CAST(LEN(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^ \\t\\n\\ra-zA-Z0-9]+')) AS INTEGER) AS n_tokens_bpe,
            (SELECT CAST(len(p.fps) AS INTEGER) FROM winnow_p p
             WHERE p.doc_id = documents.doc_id) AS n_winnow_fp,
            (SELECT list_min(p.fps) FROM winnow_p p
@@ -114,6 +116,15 @@ def text_stats(spark, sf_dir):
         F.array_max(F.transform(toks, lambda x: F.length(x))).alias("max_token_len"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
         F.md5(F.col("text").cast("binary")).alias("fp"),
+        # BPE-style pre-tokenizer count (brief: 'whitespace + a BPE-ish
+        # regex'): letter runs | digit runs | punctuation runs — the GPT-2
+        # pre-tokenizer's class structure without the contraction table,
+        # expressed with portable character classes so Java regex (Spark)
+        # and RE2 (DuckDB oracle) agree match-for-match. Native
+        # regexp_count: JVM-side, codegen, no UDF.
+        F.regexp_count(
+            F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^ \\t\\n\\ra-zA-Z0-9]+")
+        ).alias("n_tokens_bpe"),
     ).select(
         # second projection so the UDF column is computed ONCE and shared by
         # both derived columns — inlining wf into size() and array_min()
