@@ -641,3 +641,73 @@ def test_ensure_parallelism_gate(spark):
     assert widened.rdd.getNumPartitions() == target
     wide = df.repartition(target * 2)
     assert _ensure_parallelism(wide).rdd.getNumPartitions() == target * 2
+
+
+# --- hashing-trick TF embeddings (round 7: text -> vector bridge) ---------
+
+
+def test_hashed_tf_embedding_invariants(spark):
+    import numpy as np
+    import pandas as pd
+
+    from tiledspark.textops import hashed_tf_embedding
+
+    texts = [
+        "spark shuffles data between stages",       # 0
+        "spark shuffles data between stages",       # 1 == 0 exactly
+        "spark shuffles data between query stages", # 2 near 0
+        "completely unrelated words entirely here", # 3 far from 0
+        "",                                          # 4 empty -> no rows
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in hashed_tf_embedding(df, dim=64).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}  # empty text yields no vector
+    for v in out.values():
+        assert len(v) == 64
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9  # L2-normalized
+    assert np.allclose(out[0], out[1])  # deterministic, content-addressed
+
+    def cos(a, b):
+        return float(a @ b)
+
+    assert cos(out[0], out[2]) > 0.8        # near-dup stays close
+    assert cos(out[0], out[3]) < 0.3        # unrelated stays far
+    # repartitioned input -> identical vectors (no order sensitivity)
+    out2 = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in hashed_tf_embedding(df.repartition(5), dim=64).collect()
+    }
+    for k in out:
+        assert np.allclose(out[k], out2[k])
+
+
+def test_hashed_tf_embedding_feeds_near_dup_pipeline(spark):
+    """End-to-end text -> embedding -> embedding_near_dup_pairs: the planted
+    exact-dup pair must surface through the VECTOR dedup path with cos ~ 1."""
+    import pandas as pd
+
+    from tiledspark.textops import hashed_tf_embedding
+    from tiledspark.vector import embedding_near_dup_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    texts.append(texts[0])  # 30 == 0
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    emb = hashed_tf_embedding(df, dim=64)
+    pairs = embedding_near_dup_pairs(
+        emb, id_col="doc_id", emb_col="embedding", min_cos=0.95
+    ).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 30) in found, f"planted text dup not surfaced via vectors: {found}"

@@ -1011,3 +1011,75 @@ def drop_boilerplate_lines(
         .withColumn(clean_col, F.coalesce(F.col("_clean"), F.lit("")))
         .drop("_nd", "_clean")
     )
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick TF embeddings — the text -> vector bridge (round 7). Turns
+# raw text into a dense array<double> the vector operators (ANN top-k,
+# embedding_near_dup_pairs, brute-force cosine) consume directly, with no
+# model artifact to ship: the "embedding" is a signed feature-hashed
+# term-frequency vector (Weinberger et al. 2009, "Feature Hashing for
+# Large Scale Multitask Learning" — public spec).
+
+
+def hashed_tf_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    l2_normalize: bool = True,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """-> (id_col, out_col: array<double> length dim).
+
+    bucket(token) = pmod(xxhash64(token), dim); sign(token) = ±1 from an
+    independent seed (xxhash64(1, token) & 1) so hash collisions cancel in
+    expectation instead of biasing counts upward. Document vector = signed
+    token counts per bucket, optionally L2-normalized.
+
+    Scale shape: explode -> two narrow exchanges of (id, bucket, count)
+    triples — partial aggregation makes the first map-side-combined, and
+    nothing document-sized is ever shuffled (the dense array materializes
+    per doc AFTER the final groupBy). All JVM-native (split/explode/
+    xxhash64/map_from_entries/transform) — no Python in the path. No
+    DuckDB oracle: xxhash64 is engine-specific; correctness is pytest-
+    pinned via determinism/norm/cosine-separation invariants plus an
+    end-to-end text -> embedding -> near-dup integration test."""
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    signed = toks.select(
+        "_id",
+        F.pmod(F.xxhash64("t"), F.lit(dim)).cast("int").alias("b"),
+        F.when(F.pmod(F.xxhash64(F.lit(1), F.col("t")), F.lit(2)) == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("s"),
+    )
+    per_bucket = signed.groupBy("_id", "b").agg(F.sum("s").alias("v"))
+    dense = (
+        per_bucket.groupBy("_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("m"))
+        .select(
+            "_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                # element_at on a MAP keys by value (bucket id), not position
+                lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0.0)),
+            ).alias("_emb"),
+        )
+    )
+    if l2_normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col("_emb"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        dense = dense.select(
+            "_id",
+            F.when(
+                nrm > 0, F.transform(F.col("_emb"), lambda x: x / nrm)
+            ).otherwise(F.col("_emb")).alias("_emb"),
+        )
+    return dense.select(F.col("_id").alias(id_col), F.col("_emb").alias(out_col))
