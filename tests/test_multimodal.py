@@ -113,3 +113,25 @@ def test_synth_media_emits_decodable_payloads(spark):
     wavs = pdf[pdf["kind"] == "audio"]["content"]
     assert all(bytes(c)[:2] == b"P6" for c in imgs)
     assert all(bytes(c)[:4] == b"RIFF" for c in wavs)
+
+
+def test_ppm_wav_roundtrip_property():
+    """encode -> decode roundtrips exactly (PPM) / within 1 LSB (WAV)
+    across randomized shapes — hypothesis-style, seeded for determinism."""
+    import numpy as np
+
+    from tiledspark.multimodal import _decode_ppm, _decode_wav, encode_ppm, encode_wav
+
+    rng = np.random.default_rng(123)
+    for _ in range(25):
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        gray = _decode_ppm(encode_ppm(rgb))
+        assert gray.shape == (h, w)
+        assert np.allclose(gray, rgb @ np.array([0.299, 0.587, 0.114]))
+    for _ in range(25):
+        ns = int(rng.integers(1, 3000))
+        s = rng.uniform(-1, 1, ns)
+        dec, rate = _decode_wav(encode_wav(s, rate=16000))
+        assert rate == 16000 and len(dec) == ns
+        assert np.abs(dec - np.clip(s, -1, 32767 / 32768)).max() <= 1.5 / 32768

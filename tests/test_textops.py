@@ -711,3 +711,56 @@ def test_hashed_tf_embedding_feeds_near_dup_pipeline(spark):
     ).toPandas()
     found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 30) in found, f"planted text dup not surfaced via vectors: {found}"
+
+
+def test_drop_boilerplate_lines_matches_python_mirror(spark):
+    """Property test: both strategies match a pure-python mirror of the
+    spec (trim, drop blanks, df > max_df drops, order-preserving rejoin)
+    on seeded random corpora with injected boilerplate."""
+    import numpy as np
+    import pandas as pd
+
+    from tiledspark.textops import drop_boilerplate_lines
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    boilers = ["FOLLOW US", "ALL RIGHTS RESERVED", "MENU HOME ABOUT"]
+    rows = []
+    for i in range(60):
+        lines = [" ".join(rng.choice(vocab, 5)) for _ in range(rng.integers(1, 6))]
+        for b in boilers:
+            if rng.random() < 0.4:
+                lines.insert(int(rng.integers(0, len(lines) + 1)), f"  {b} ")
+        if rng.random() < 0.1:
+            lines.append("   ")  # whitespace-only line
+        rows.append((i, "\n".join(lines)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    max_df = 5
+
+    def mirror(texts):
+        from collections import defaultdict
+
+        docs = {i: [ln.strip() for ln in t.split("\n") if ln.strip()] for i, t in texts}
+        df_count = defaultdict(set)
+        for i, lines in docs.items():
+            for ln in lines:
+                df_count[ln].add(i)
+        out = {}
+        for i, lines in docs.items():
+            kept = [ln for ln in lines if len(df_count[ln]) <= max_df]
+            out[i] = (
+                len(lines),
+                len(lines) - len(kept),
+                "\n".join(kept),
+            )
+        return out
+
+    exp = mirror(rows)
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    for strat in ("array", "join"):
+        got = {
+            r["doc_id"]: (r["n_lines"], r["n_lines_dropped"], r["text_clean"])
+            for r in drop_boilerplate_lines(df, max_df=max_df, strategy=strat).collect()
+        }
+        assert got == exp, f"{strat} mismatch"

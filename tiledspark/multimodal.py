@@ -227,7 +227,9 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """float [-1, 1] mono -> minimal RIFF/WAVE PCM-16 bytes."""
-    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    # scale by 32768 (the decoder's divisor) so encode∘decode is exact to
+    # 0.5 LSB; +1.0 clips to 32767 (one LSB shy of +full-scale, standard)
+    pcm = np.clip(np.rint(samples * 32768.0), -32768, 32767).astype("<i2").tobytes()
     fmt = (
         b"fmt " + (16).to_bytes(4, "little")
         + (1).to_bytes(2, "little")      # PCM
