@@ -7,6 +7,12 @@
 
 The standard web-corpus sweep, end-to-end on the engine's operators:
 
+0. (optional, --boilerplate-max-df N) LINE-level boilerplate removal —
+   drop lines appearing in > N distinct docs (nav menus, cookie banners,
+   footers) BEFORE similarity, since shared boilerplate inflates Jaccard
+   between unrelated pages. Adds text_clean; the original text column is
+   never mutated (byte-identity invariant), and all similarity stages
+   below run on the CLEANED text when this stage is on.
 1. EXACT dedup — hash-groupBy on md5(text); keeper = min id per
    fingerprint. One shuffle of (fp, id) pairs; documents never move.
 2. NEAR-dup candidate pairs among the exact keepers — banded MinHash LSH
@@ -44,16 +50,29 @@ def main() -> None:
                     help="connected-components variant: min-label propagation "
                          "(diameter rounds; near-dup graphs are shallow) or "
                          "Kiveris star (O(log n) rounds, any topology)")
+    ap.add_argument("--boilerplate-max-df", type=int, default=None,
+                    help="enable line-level boilerplate removal: drop lines "
+                         "with document frequency > N before similarity")
     args = ap.parse_args()
 
     from tiledspark.graph import dedup_keepers_with_labels
-    from tiledspark.textops import lsh_candidate_pairs
+    from tiledspark.textops import drop_boilerplate_lines, lsh_candidate_pairs
 
     spark = SparkSession.builder.appName("tiledspark-dedup-corpus").getOrCreate()
     idc, txt = args.id_col, args.text_col
 
     docs = spark.read.parquet(args.docs)
     n_docs = docs.count()
+
+    # 0. optional line-level boilerplate stage: similarity runs on the
+    # cleaned column; the original text column rides through untouched
+    n_boiler_lines = 0
+    if args.boilerplate_max_df is not None:
+        docs = drop_boilerplate_lines(
+            docs, id_col=idc, text_col=txt, max_df=args.boilerplate_max_df
+        ).localCheckpoint()
+        n_boiler_lines = docs.agg(F.sum("n_lines_dropped")).collect()[0][0] or 0
+        txt = "text_clean"
 
     # 1. exact stratum: keeper = min id per content fingerprint
     fp = docs.select(F.col(idc), F.md5(F.col(txt).cast("binary")).alias("fp"))
@@ -86,6 +105,7 @@ def main() -> None:
         json.dumps(
             {
                 "n_docs": n_docs,
+                "n_boiler_lines_dropped": int(n_boiler_lines),
                 "n_exact_dropped": n_docs - n_exact,
                 "n_near_pairs": n_pairs,
                 "n_components": n_components,

@@ -184,3 +184,66 @@ def test_spark_submit_dedup_corpus(tmp_path, spark):
     kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
     assert 100 in kept and not {101, 102, 103} & kept
     assert len(kept) == 41
+
+
+def test_spark_submit_dedup_corpus_with_boilerplate_stage(tmp_path, spark):
+    """--boilerplate-max-df: line-level boilerplate removal runs BEFORE
+    similarity, so a doc that differs from another only by a boilerplate
+    line dedupes EXACTLY after cleaning (raw md5 would have missed it),
+    and the original text column rides through unmutated."""
+    zip_path = str(tmp_path / "tiledspark.zip")
+    _build_zip(zip_path)
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest tonight").split()
+    boiler = "JOIN OUR MAILING LIST"
+    texts = {}
+    for i in range(40):
+        t = " ".join(f"w{i}_{j}" for j in range(30))
+        texts[i] = t + "\n" + boiler if i < 30 else t   # df(boiler) grows to 31
+    texts[100] = " ".join(base)
+    texts[101] = " ".join(base)                         # exact dup of 100
+    mut1 = list(base); mut1[3] = "cat"
+    texts[102] = " ".join(mut1)                         # near dup of 100
+    mut2 = list(mut1); mut2[15] = "slowly"
+    texts[103] = " ".join(mut2)                         # near dup of 102 (chain)
+    texts[104] = " ".join(base) + "\n" + boiler         # dup of 100 ONLY after cleaning
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(k, v) for k, v in sorted(texts.items())], "doc_id long, text string"
+    ).write.parquet(docs_path)
+
+    out_path = str(tmp_path / "deduped.parquet")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "dedup_corpus.py"),
+            "--docs", docs_path,
+            "--out", out_path,
+            "--min-jaccard", "0.5",
+            "--boilerplate-max-df", "10",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["n_docs"] == 45
+    assert stats["n_boiler_lines_dropped"] == 31
+    assert stats["n_exact_dropped"] == 2            # 101 raw + 104 post-clean
+    assert stats["n_near_dropped"] == 2 and stats["n_components"] == 1
+    assert stats["n_kept"] == 41
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert 100 in rows and not {101, 102, 103, 104} & set(rows)
+    # byte-identity invariant: original text survives untouched on a doc
+    # whose boilerplate line was stripped from text_clean only
+    assert rows[0]["text"].endswith(boiler)
+    assert not rows[0]["text_clean"].endswith(boiler)
