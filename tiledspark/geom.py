@@ -206,3 +206,92 @@ def np_polygon_cover(
     if not out_cells:
         return np.array([], np.int64), np.array([], bool)
     return np.concatenate(out_cells), np.concatenate(out_boundary)
+
+
+# --- native Column point-in-polygon (round 7) -------------------------------
+# The same SPEC-PINNED crossing-number + boundary-inclusive test as the
+# numpy kernels above, expressed as pure Column HOFs so the spatial join's
+# boundary refinement needs no Python worker and no grouped exchange: the
+# candidates equi-join the zone geometry (AQE broadcasts a small zone side)
+# and filter map-side. Arithmetic mirrors np_points_in_ring term-for-term
+# (same operation order, same 1e-12 tolerances) so results are bit-identical
+# to the numpy path — the spatial-join golden and the oracled row pin this.
+
+_EPS = 1e-12
+
+
+def _ring_edges_expr(ring):
+    """array<struct<lat,lon>> (open or closed) -> array<struct<y1,x1,y2,x2>>.
+    Closes an open ring first (round-4 lesson: an open ring silently drops
+    its closing edge)."""
+    from pyspark.sql import functions as F
+
+    first, last = F.element_at(ring, 1), F.element_at(ring, -1)
+    closed = F.when(
+        (first["lat"] == last["lat"]) & (first["lon"] == last["lon"]), ring
+    ).otherwise(F.concat(ring, F.array(first)))
+    n = F.size(closed)
+    return F.zip_with(
+        F.slice(closed, 1, n - 1),
+        F.slice(closed, 2, n - 1),
+        lambda a, b: F.struct(
+            a["lat"].alias("y1"),
+            a["lon"].alias("x1"),
+            b["lat"].alias("y2"),
+            b["lon"].alias("x2"),
+        ),
+    )
+
+
+def _on_edges_expr(lat, lon, edges):
+    from pyspark.sql import functions as F
+
+    def on_edge(e):
+        d = (e["x2"] - e["x1"]) * (lat - e["y1"]) - (e["y2"] - e["y1"]) * (
+            lon - e["x1"]
+        )
+        return (
+            (F.abs(d) <= _EPS)
+            & (lon >= F.least(e["x1"], e["x2"]) - _EPS)
+            & (lon <= F.greatest(e["x1"], e["x2"]) + _EPS)
+            & (lat >= F.least(e["y1"], e["y2"]) - _EPS)
+            & (lat <= F.greatest(e["y1"], e["y2"]) + _EPS)
+        )
+
+    return F.exists(edges, on_edge)
+
+
+def _in_ring_parts_expr(lat, lon, ring):
+    """-> (odd_crossings, on_edge) Column pair for one ring."""
+    from pyspark.sql import functions as F
+
+    edges = _ring_edges_expr(ring)
+
+    def crossing(e):
+        straddle = (e["y1"] > lat) != (e["y2"] > lat)
+        # straddle implies y2 != y1, so the division cannot be 0/0; a
+        # division by zero on the non-straddle side yields Inf/NaN inside a
+        # branch whose AND is already false (matches the numpy np.where)
+        x_at = e["x1"] + (lat - e["y1"]) * (e["x2"] - e["x1"]) / (e["y2"] - e["y1"])
+        return F.when(straddle & (lon < x_at), 1).otherwise(0)
+
+    odd = F.aggregate(edges, F.lit(0), lambda acc, e: acc + crossing(e)) % 2 == 1
+    return odd, _on_edges_expr(lat, lon, edges)
+
+
+def point_in_polygon_expr(lat, lon, ring, holes=None):
+    """Column-native mirror of np_points_in_polygon: inside the outer ring
+    (boundary-inclusive) and, per hole, NOT strictly inside it (the hole
+    BOUNDARY counts as inside the polygon — SPEC-PINNED edge rule)."""
+    from pyspark.sql import functions as F
+
+    odd, edge = _in_ring_parts_expr(lat, lon, ring)
+    res = odd | edge
+    if holes is not None:
+
+        def ok(h):
+            h_odd, h_edge = _in_ring_parts_expr(lat, lon, h)
+            return ~(h_odd | h_edge) | h_edge
+
+        res = res & F.forall(F.coalesce(holes, F.array()), ok)
+    return res

@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiledspark import tiles
-from tiledspark.geom import np_points_in_polygon, np_polygon_cover
+from tiledspark.geom import (
+    np_points_in_polygon,
+    np_polygon_cover,
+    point_in_polygon_expr,
+)
 
 DEFAULT_Z_JOIN = 12
 DEFAULT_Z_MIN = 6
@@ -124,18 +128,17 @@ def spatial_join(
     broadcast_zone_cells_max: int = 2_000_000,
     hot_cell_threshold: int = 100_000,
     salt_k: int = 16,
-    broadcast_zone_geo_max: int = 50_000,
+    broadcast_zone_geo_max: int = 50_000,  # retained for API compat; unused
 ) -> DataFrame:
     """-> (zone_id, <doc_key>, lat, lon, tile_id) — one row per (zone, doc)
     containment pair; tile_id is the doc's base-zoom assignment.
 
-    PIP refinement geometry (round-1 fix): the driver-side collect+broadcast
-    of polygon vertex arrays is now GATED on a measured zone count
-    (broadcast_zone_geo_max). Above it, refinement switches to a cogrouped
-    applyInPandas — boundary candidates and zone geometry shuffle on
-    (zone_id, salt16), geometry replicated 16× per zone (O(perimeter), tiny
-    next to candidates), so an arbitrarily large zone table never touches
-    the driver."""
+    PIP refinement (round 7): a native Column crossing-number filter over a
+    zone_id equi-join (see the inline comment at the refine stage) —
+    replaced the gated pandas/cogroup paths of rounds 1-6; no Python, no
+    driver geometry round-trip at any zone count, one fewer count job.
+    `broadcast_zone_geo_max` is kept in the signature for source
+    compatibility but no longer gates anything."""
     zc = build_zone_cells(zones, z_join, z_min).cache()
     n_zone_cells = zc.count()  # measured, drives the explicit plan choice
     dc = doc_cells_for_join(docs, z_join, z_min).select(
@@ -186,60 +189,26 @@ def spatial_join(
     interior = cand.where(~F.col("is_boundary")).select(doc_key, "lat", "lon", "zone_id")
 
     boundary = cand.where(F.col("is_boundary")).select(doc_key, "lat", "lon", "zone_id")
-    boundary = boundary.withColumn("_g", F.pmod(F.xxhash64(doc_key), F.lit(16)))
-    # doc_key keeps its actual type (round-4 fix: "string" was hardcoded,
-    # breaking numeric keys like c_custkey through the Arrow refine schema)
-    key_type = dict(docs.dtypes)[doc_key]
-    out_schema = f"{doc_key} {key_type}, lat double, lon double, zone_id long, _g int"
-
-    n_zones = zones.count()  # measured, gates the driver round-trip
-    if n_zones <= broadcast_zone_geo_max:
-        geo_bc = _zones_broadcast(spark, zones)
-
-        def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-            if pdf.empty:
-                return pdf
-            zid = int(pdf["zone_id"].iloc[0])
-            ring, holes = geo_bc.value[zid]
-            ok = np_points_in_polygon(
-                pdf["lat"].to_numpy(np.float64), pdf["lon"].to_numpy(np.float64), ring, holes
+    # PIP refinement is a NATIVE Column filter (round 7): boundary
+    # candidates equi-join the zone geometry on zone_id and evaluate the
+    # crossing-number test as HOF expressions (geom.point_in_polygon_expr —
+    # bit-identical arithmetic to the numpy kernel; the byte-for-byte
+    # spatial-join golden and the oracled row pin the equivalence). This
+    # replaced the round-1..6 grouped applyInPandas paths: no Python
+    # workers, no Arrow hop, no (zone_id, salt) grouped exchange, and no
+    # zones.count() gate job — AQE broadcasts a small zone side on its own,
+    # and at an arbitrarily large zone count the same plan degrades to a
+    # plain shuffle equi-join with zero driver geometry materialization.
+    zgeo = zones.select("zone_id", "ring", "holes")
+    refined = (
+        boundary.join(zgeo, "zone_id")
+        .where(
+            point_in_polygon_expr(
+                F.col("lat"), F.col("lon"), F.col("ring"), F.col("holes")
             )
-            return pdf.loc[ok]
-
-        refined = (
-            boundary.groupBy("zone_id", "_g")
-            .applyInPandas(refine, schema=out_schema)
-            .drop("_g")
         )
-    else:
-        # cluster-side refinement: cogroup candidates with geometry on
-        # (zone_id, salt) — geometry rows replicate 16×/zone, candidates
-        # shuffle once; no driver materialization of any polygon
-        zgeo = zones.select("zone_id", "ring", "holes").withColumn(
-            "_g", F.explode(F.sequence(F.lit(0), F.lit(15)))
-        )
-
-        def refine_cg(cand_pdf: pd.DataFrame, geo_pdf: pd.DataFrame) -> pd.DataFrame:
-            if cand_pdf.empty or geo_pdf.empty:
-                return cand_pdf.iloc[0:0]
-            ring = _ring_to_np(geo_pdf["ring"].iloc[0])
-            holes = [_ring_to_np(h) for h in _holes_list(geo_pdf["holes"].iloc[0])]
-            ok = np_points_in_polygon(
-                cand_pdf["lat"].to_numpy(np.float64),
-                cand_pdf["lon"].to_numpy(np.float64),
-                ring,
-                holes,
-            )
-            return cand_pdf.loc[ok]
-
-        refined = (
-            boundary.groupBy("zone_id", "_g")
-            .cogroup(zgeo.groupBy("zone_id", "_g"))
-            .applyInPandas(refine_cg, schema=out_schema)
-            .drop("_g")
-        )
-    # grouped output schema must include grouping cols; realign column order
-    refined = refined.select(doc_key, "lat", "lon", "zone_id")
+        .select(doc_key, "lat", "lon", "zone_id")
+    )
 
     out = interior.unionByName(refined).withColumn(
         "tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE)
