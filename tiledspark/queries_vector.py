@@ -158,14 +158,34 @@ def ann_lsh_topk(spark, sf_dir):
         "vec_id long, emb array<double>",
     )
     un = base.unionByName(planted)
-    lsh = ann_topk_lsh(spark, un, qvec, k=10, emb_col="emb").select(
-        F.lit("lsh").alias("method"), "vec_id", F.round("cos_sim", 4).alias("cos_sim")
-    )
-    ivf = ann_topk_ivf(
-        spark, un, qvec, k=10, emb_col="emb", n_centroids=16, n_probe=4
-    ).select(
-        F.lit("ivf").alias("method"), "vec_id", F.round("cos_sim", 4).alias("cos_sim")
-    )
+
+    # Round 7: the two arms are independent but each blocks the driver on
+    # its guaranteed-k materialize+count jobs (plus IVF's training sample
+    # collect) — serially that is the row's whole wall. Build them on two
+    # threads so the blocking jobs overlap in the scheduler (same pattern as
+    # snapshot commit()'s concurrent data+index writes); the returned plan
+    # union is unchanged and deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _lsh():
+        return ann_topk_lsh(spark, un, qvec, k=10, emb_col="emb").select(
+            F.lit("lsh").alias("method"),
+            "vec_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+
+    def _ivf():
+        return ann_topk_ivf(
+            spark, un, qvec, k=10, emb_col="emb", n_centroids=16, n_probe=4
+        ).select(
+            F.lit("ivf").alias("method"),
+            "vec_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lsh, f_ivf = pool.submit(_lsh), pool.submit(_ivf)
+        lsh, ivf = f_lsh.result(), f_ivf.result()
     return lsh.unionByName(ivf)
 
 

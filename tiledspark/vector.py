@@ -184,10 +184,16 @@ def ann_topk_lsh(
                 for i in range(n_bits):
                     for j in range(i + 1, n_bits):
                         probes.add(code ^ (1 << i) ^ (1 << j))
+        # Candidate = any corpus bucket ∈ probes. Round 7: arrays_overlap
+        # against the literal probe array replaces explode → isin →
+        # dropDuplicates — same set (a doc matching in 2 tables appeared
+        # twice pre-dedup; overlap admits it once by construction), but
+        # map-side only: no explode blow-up, no dedup Exchange, one less
+        # stage per escalation level. Probe lists are small (136 at level 1,
+        # ~1.1k at level 2); ArraysOverlap hashes the larger side.
+        probe_arr = F.array(*[F.lit(int(p)) for p in sorted(probes)])
         return (
-            b.withColumn("bucket", F.explode("buckets"))
-            .where(F.col("bucket").isin(sorted(probes)))
-            .dropDuplicates([id_col])
+            b.where(F.arrays_overlap("buckets", probe_arr))
             .select(id_col, emb_col)
         )
 
