@@ -294,3 +294,88 @@ def test_ann_batch_job_count_independent_of_n_queries(spark):
     n2 = jobs_for((0, 25))
     n6 = jobs_for((0, 25, 111, 222, 333, 399))
     assert n2 == n6, f"job count scales with query count: {n2} vs {n6}"
+
+
+# --- SQ8 scalar quantization (round 7) ---------------------------------------
+
+
+def test_sq8_roundtrip_error_bound(spark):
+    """decode(encode(x)) within step/2 + float slack per dimension — the
+    quantizer's defining invariant, checked against numpy on real values."""
+    from tiledspark.vector import sq8_decode_expr, sq8_train, with_sq8
+
+    pdf = _clustered_embeddings(n_clusters=5, per_cluster=10)
+    emb = spark.createDataFrame(pdf)
+    params = sq8_train(emb)
+    got = (
+        with_sq8(emb, params)
+        .withColumn("dec", sq8_decode_expr(F.col("code"), params))
+        .select("vec_id", "embedding", "dec", "code")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    steps = np.asarray(params["steps"])
+    for _, row in got.iterrows():
+        x = np.asarray(row["embedding"], np.float64)
+        dec = np.asarray(row["dec"], np.float64)
+        assert (np.abs(x - dec) <= steps / 2 + 1e-9).all()
+    # storage claim: a true 1-byte/dim at-rest layout
+    assert dict(spark.createDataFrame(got[["vec_id", "code"]]).dtypes)["code"] in (
+        "array<tinyint>",
+    )
+
+
+def test_sq8_codes_cover_range_and_clamp(spark):
+    """Codes span the full [-128,127] byte after offset (min maps to -128,
+    max to 127) and out-of-train values clamp instead of wrapping."""
+    from tiledspark.vector import sq8_train, with_sq8
+
+    train = spark.createDataFrame(
+        [(0, [0.0, -1.0]), (1, [10.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    params = sq8_train(train)
+    codes = {
+        r["vec_id"]: r["code"]
+        for r in with_sq8(train, params).select("vec_id", "code").collect()
+    }
+    assert codes[0] == [-128, -128] and codes[1] == [127, 127]
+    # values outside the trained range clamp to the endpoints
+    out = spark.createDataFrame(
+        [(2, [-5.0, 99.0])], "vec_id long, embedding array<double>"
+    )
+    assert with_sq8(out, params).select("code").collect()[0]["code"] == [-128, 127]
+
+
+def test_sq8_topk_exact_on_clustered_corpus(spark):
+    """Two-phase SQ8 ANN returns the EXACT brute-force top-k on the clustered
+    corpus (quantization error ≪ cluster separation) with exact scores."""
+    from tiledspark.vector import ann_topk_sq8
+
+    pdf = _clustered_embeddings()
+    emb = spark.createDataFrame(pdf)
+    mats = np.array([np.asarray(e, np.float64) for e in pdf["embedding"]])
+    q = mats[0]
+    cos = (mats @ q) / (np.linalg.norm(mats, axis=1) * np.linalg.norm(q))
+    cos[0] = -2  # exclude self
+    exact_top = [int(v) for v in pdf["vec_id"].to_numpy()[np.argsort(-cos)[:10]]]
+
+    got = ann_topk_sq8(
+        spark, emb.where(F.col("vec_id") != 0), list(map(float, q)), k=10
+    ).toPandas()
+    assert set(got["vec_id"].tolist()) == set(exact_top)
+    # phase-2 scores are EXACT float cosines, not approximations
+    by_id = {int(r["vec_id"]): float(r["cos_sim"]) for _, r in got.iterrows()}
+    for vid in exact_top:
+        idx = pdf.index[pdf["vec_id"] == vid][0]
+        assert abs(by_id[vid] - cos[idx]) < 1e-9
+
+
+def test_sq8_topk_guaranteed_k_tiny_corpus(spark):
+    """Corpus smaller than the rerank window still returns min(k, corpus)
+    rows — phase 1 is a full scan, never a filter."""
+    from tiledspark.vector import ann_topk_sq8
+
+    pdf = _clustered_embeddings(n_clusters=2, per_cluster=3)
+    emb = spark.createDataFrame(pdf)
+    got = ann_topk_sq8(spark, emb, [1.0] * 64, k=10, rerank_factor=4).collect()
+    assert len(got) == 6

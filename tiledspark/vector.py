@@ -554,3 +554,124 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_sim") >= min_cos)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# --- SQ8 scalar quantization (round 7): compressed at-rest embeddings -------
+#
+# At 10^12 documents the embedding column dominates storage and scan IO:
+# 64 float32 dims = 256 B/doc. SQ8 stores 1 byte/dim (array<tinyint>, offset
+# -128) trained per-dimension from corpus min/max — 4x smaller at rest, and
+# the approximate scan reads a quarter of the bytes. Queries rerank the
+# approximate top-R with exact float cosine, so the quantization error only
+# has to PRESERVE THE ORDER into the top-R cut, not the scores themselves.
+# Everything is native Column math (encode/decode are HOF transforms over
+# literal per-dim arrays); no Python touches the hot path.
+
+
+def sq8_train(emb: DataFrame, emb_col: str = "embedding") -> dict:
+    """Per-dimension quantizer params from ONE narrow aggregate:
+    posexplode -> groupBy(pos).agg(min, max) is a (dim)-key partial-agg
+    shuffle — map-side combined, O(dim) rows to the driver regardless of
+    corpus size. Returns {"mins": [...], "steps": [...]} with step > 0
+    (constant dims get step=1 so encode maps them to code 0 exactly)."""
+    rows = (
+        emb.select(F.posexplode(emb_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq8_train: empty corpus — nothing to train on")
+    by_pos = {r["pos"]: (r["lo"], r["hi"]) for r in rows}
+    dim = max(by_pos) + 1
+    mins, steps = [], []
+    for p in range(dim):
+        lo, hi = by_pos[p]
+        mins.append(float(lo))
+        steps.append(float(hi - lo) / 255.0 if hi > lo else 1.0)
+    return {"mins": mins, "steps": steps}
+
+
+def _lit_arr(vals: list[float]):
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def with_sq8(
+    df: DataFrame,
+    params: dict,
+    emb_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """Adds `code` array<tinyint>: round((x-min)/step) clamped to [0,255],
+    stored offset by -128 so it fits the signed byte — a true 1 byte/dim
+    at-rest layout (parquet INT8). Pure transform expr, no UDF."""
+    mins, steps = _lit_arr(params["mins"]), _lit_arr(params["steps"])
+    code = F.transform(
+        F.col(emb_col),
+        lambda x, i: (
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.round(
+                        (x.cast("double") - F.element_at(mins, i + 1))
+                        / F.element_at(steps, i + 1)
+                    ).cast("int"),
+                ),
+            )
+            - F.lit(128)
+        ).cast("tinyint"),
+    )
+    return df.withColumn(code_col, code)
+
+
+def sq8_decode_expr(code_col, params: dict):
+    """array<tinyint> code -> array<double> reconstruction
+    (min + (code+128)*step). Column expr, usable anywhere."""
+    mins, steps = _lit_arr(params["mins"]), _lit_arr(params["steps"])
+    return F.transform(
+        code_col,
+        lambda c, i: F.element_at(mins, i + 1)
+        + (c.cast("double") + F.lit(128.0)) * F.element_at(steps, i + 1),
+    )
+
+
+def ann_topk_sq8(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    code_col: str = "code",
+    params: dict | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """SQ8 two-phase top-k: approximate cosine on the decoded int8 codes
+    selects the top R = rerank_factor*k, exact float cosine reranks them ->
+    (vec_id, cos_sim) with EXACT scores. Guaranteed-k by construction
+    (R >= k and phase 1 is a full scan — never fewer candidates than the
+    corpus holds). If `params` is None the quantizer is trained here and the
+    codes are computed inline; production encodes once at write time and
+    passes the stored `code` column + trained params.
+
+    One job shape: phase 1 is TakeOrderedAndProject over the code scan
+    (map-side top-R per partition, R rows to the driver plan), phase 2
+    reranks those R rows — no count jobs, no checkpoints."""
+    if params is None:
+        params = sq8_train(emb, emb_col)
+        emb = with_sq8(emb, params, emb_col, code_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    r = max(int(rerank_factor) * k, k)
+    approx = emb.withColumn(
+        "_approx", _cos_expr(sq8_decode_expr(F.col(code_col), params), q)
+    ).orderBy(F.desc("_approx"), F.asc(id_col)).limit(r)
+    return (
+        approx.withColumn("cos_sim", _cos_expr(F.col(emb_col), q))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .select(id_col, "cos_sim")
+        .limit(k)
+    )
