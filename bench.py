@@ -738,6 +738,34 @@ def main() -> None:
                     "scanned_frac": frac,
                     "lift": round(rec / frac, 2) if frac else None,
                 }
+            # sq8 (round 7, SURVEY op 82): NOT sublinear — a full scan over
+            # 1-byte/dim codes (1/4 the at-rest bytes of float32) + exact
+            # float rerank of the approximate top-R. Its claim is recall
+            # under compression, so the lift criterion doesn't apply;
+            # measured 1.00 at rerank_factor=4 even on this isotropic data.
+            from tiledspark.vector import ann_topk_sq8, sq8_train, with_sq8
+
+            sq_params = sq8_train(emb, "emb")
+            coded = with_sq8(emb, sq_params, "emb").localCheckpoint()
+            recs = []
+            for qid in q_ids:
+                got_df = ann_topk_sq8(
+                    spark,
+                    coded.where(F.col("vec_id") != qid),
+                    [float(x) for x in mat[idx[qid]]],
+                    k=k,
+                    emb_col="emb",
+                    params=sq_params,
+                ).toPandas()
+                got = [int(v) for v in got_df["vec_id"]][:k]
+                recs.append(len(set(got) & gt[qid]) / k)
+            out["sq8"] = {
+                "params": {"rerank_factor": 4},
+                "recall": round(float(np.mean(recs)), 4),
+                "scanned_frac": 1.0,
+                "bytes_frac": 0.25,
+                "note": "full int8-code scan + exact rerank; compression, not sublinearity",
+            }
             return out
         except Exception as e:  # noqa: BLE001 — attestation must not sink the bench
             sys.stderr.write(f"ann recall attestation failed: {e}\n")
