@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Production training-corpus preparation job — the full §2E pipeline in one
+spark-submit entry point (brief: "the operations a large-scale training-data
+pipeline would need", composed end-to-end). Submit:
+
+  spark-submit --py-files dist/tiledspark.zip jobs/prepare_corpus.py \
+      --docs <documents-parquet> --out <prepared-parquet> \
+      [--langs en,de] [--min-tokens 5] [--max-token-len 80] \
+      [--min-stop-ratio 0.0] [--boilerplate-max-df N] \
+      [--min-jaccard 0.5] [--emb-dim 64] [--no-embed]
+
+Stages (every one a native-Spark operator from tiledspark; nothing per-row
+Python except the winnow/minhash Arrow kernels already inside the called
+operators):
+
+1. QUALITY + LANGUAGE gate — one codegen projection per doc: token count,
+   average token length, max token length, stopword ratio (Gopher-style
+   screens) and the stopword-argmax language id; rows failing any screen or
+   outside --langs are dropped, with per-reason counts reported.
+2. BOILERPLATE (optional, --boilerplate-max-df N) — corpus-level line-df
+   filter (textops.drop_boilerplate_lines); similarity stages below read the
+   cleaned column, the original text column is never mutated.
+3. EXACT dedup — hash-groupBy on md5(text); keeper = min id.
+4. NEAR-dup — banded MinHash LSH candidates (ids-only band exchange) at
+   exact shingle Jaccard >= --min-jaccard, collapsed transitively via
+   connected components; one keeper per component.
+5. EMBED (unless --no-embed) — hashed_tf_embedding (feature-hashing TF,
+   JVM-native) + SQ8 scalar quantization: the output carries BOTH the float
+   embedding and the 1-byte/dim `code` column plus the trained quantizer
+   params in the stats line (production readers keep only `code` at rest —
+   4x smaller than float32).
+6. Write surviving docs and print ONE JSON stats line.
+
+The stage chain mirrors the published web-corpus recipes (CCNet / Gopher /
+RefinedWeb shape): quality -> boilerplate -> exact -> fuzzy -> vectorize.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated allowlist of predicted language "
+                         "codes; default: keep all")
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-avg-token-len", type=float, default=30.0)
+    ap.add_argument("--max-token-len", type=int, default=80)
+    ap.add_argument("--min-stop-ratio", type=float, default=0.0,
+                    help="Gopher-style floor on stopword ratio; 0 disables")
+    ap.add_argument("--boilerplate-max-df", type=int, default=None)
+    ap.add_argument("--min-jaccard", type=float, default=0.5)
+    ap.add_argument("--est-threshold", type=float, default=0.2)
+    ap.add_argument("--cc-impl", choices=("propagate", "star"), default="propagate")
+    ap.add_argument("--emb-dim", type=int, default=64)
+    ap.add_argument("--no-embed", action="store_true")
+    args = ap.parse_args()
+
+    from tiledspark.graph import dedup_keepers_with_labels
+    from tiledspark.textops import (
+        drop_boilerplate_lines,
+        hashed_tf_embedding,
+        lang_id_expr,
+        lsh_candidate_pairs,
+    )
+    from tiledspark.vector import sq8_train, with_sq8
+
+    spark = SparkSession.builder.appName("tiledspark-prepare-corpus").getOrCreate()
+    idc, txt = args.id_col, args.text_col
+
+    docs = spark.read.parquet(args.docs)
+    n_docs = docs.count()
+
+    # 1. quality + language gate: ONE projection computes every screen, the
+    # filter composes them; counts per rejection reason come from the same
+    # frame (one aggregate, no per-screen jobs)
+    toks = F.split(F.col(txt), " ")
+    stop_arr = F.array(*[F.lit(s) for s in (
+        "the", "and", "is", "in", "to", "of", "a", "for", "with", "on",
+    )])
+    n_tok = F.size(toks)
+    screened = docs.withColumn("_n_tokens", n_tok).withColumn(
+        "_avg_tok",
+        F.when(n_tok > 0,
+               F.length(F.replace(F.col(txt), F.lit(" "), F.lit(""))).cast("double")
+               / n_tok).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "_max_tok", F.coalesce(F.array_max(F.transform(toks, F.length)), F.lit(0))
+    ).withColumn(
+        "_stop_ratio",
+        F.when(n_tok > 0,
+               F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+               .cast("double") / n_tok).otherwise(F.lit(0.0)),
+    ).withColumn("_lang", lang_id_expr(F.col(txt)))
+    ok_tokens = F.col("_n_tokens") >= args.min_tokens
+    ok_avg = F.col("_avg_tok") <= args.max_avg_token_len
+    ok_max = F.col("_max_tok") <= args.max_token_len
+    ok_stop = F.col("_stop_ratio") >= args.min_stop_ratio
+    lang_list = [s for s in (args.langs or "").split(",") if s]
+    ok_lang = F.col("_lang").isin(lang_list) if lang_list else F.lit(True)
+    screened = screened.withColumn(
+        "_ok", ok_tokens & ok_avg & ok_max & ok_stop & ok_lang
+    ).localCheckpoint()
+    reasons = screened.agg(
+        F.sum((~ok_tokens).cast("long")).alias("too_few_tokens"),
+        F.sum((ok_tokens & ~ok_avg).cast("long")).alias("avg_token_too_long"),
+        F.sum((ok_tokens & ok_avg & ~ok_max).cast("long")).alias("max_token_too_long"),
+        F.sum((ok_tokens & ok_avg & ok_max & ~ok_stop).cast("long")).alias("low_stop_ratio"),
+        F.sum((ok_tokens & ok_avg & ok_max & ok_stop & ~ok_lang).cast("long")).alias("lang_rejected"),
+    ).collect()[0].asDict()
+    docs = screened.where("_ok").drop(
+        "_n_tokens", "_avg_tok", "_max_tok", "_stop_ratio", "_ok"
+    ).withColumnRenamed("_lang", "lang_pred")
+    n_quality = docs.count()
+
+    # 2. optional boilerplate stage (similarity reads the cleaned column)
+    n_boiler_lines = 0
+    if args.boilerplate_max_df is not None:
+        docs = drop_boilerplate_lines(
+            docs, id_col=idc, text_col=txt, max_df=args.boilerplate_max_df
+        ).localCheckpoint()
+        n_boiler_lines = docs.agg(F.sum("n_lines_dropped")).collect()[0][0] or 0
+        txt = "text_clean"
+
+    # 3. exact dedup
+    fp = docs.select(F.col(idc), F.md5(F.col(txt).cast("binary")).alias("fp"))
+    keep_exact = fp.groupBy("fp").agg(F.min(idc).alias(idc)).select(idc)
+    exact_docs = docs.join(keep_exact, idc, "left_semi")
+    n_exact = exact_docs.count()
+
+    # 4. near-dup: LSH candidates -> exact-Jaccard gate -> transitive keepers
+    pairs = lsh_candidate_pairs(
+        exact_docs, idc, text_col=txt, est_threshold=args.est_threshold
+    ).where(
+        F.col("n_inter").cast("double")
+        >= F.lit(args.min_jaccard) * F.col("n_union").cast("double")
+    ).select("id_a", "id_b").localCheckpoint()
+    n_pairs = pairs.count()
+    kept, labels = dedup_keepers_with_labels(
+        exact_docs, pairs, id_col=idc, impl=args.cc_impl
+    )
+    kept = kept.localCheckpoint()
+    n_kept = kept.count()
+    n_components = labels.select("comp").distinct().count() if n_pairs else 0
+
+    # 5. vectorize: feature-hashing TF embedding + SQ8 codes (both columns
+    # ride the output; production keeps `code` at rest and reranks with the
+    # float column only where exactness is needed)
+    sq_params = None
+    if not args.no_embed:
+        emb = hashed_tf_embedding(
+            kept, id_col=idc, text_col=txt, dim=args.emb_dim
+        )
+        kept = kept.join(emb, idc, "left")
+        sq_params = sq8_train(kept.where(F.col("embedding").isNotNull()))
+        kept = with_sq8(kept, sq_params)
+
+    kept.write.mode("overwrite").parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "quality_rejected": {k: int(v or 0) for k, v in reasons.items()},
+                "n_after_quality": n_quality,
+                "n_boiler_lines_dropped": int(n_boiler_lines),
+                "n_exact_dropped": n_quality - n_exact,
+                "n_near_pairs": n_pairs,
+                "n_components": n_components,
+                "n_near_dropped": n_exact - n_kept,
+                "n_kept": n_kept,
+                "embedded": not args.no_embed,
+                "sq8_params": sq_params,
+                "out": args.out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -247,3 +247,83 @@ def test_spark_submit_dedup_corpus_with_boilerplate_stage(tmp_path, spark):
     # whose boilerplate line was stripped from text_clean only
     assert rows[0]["text"].endswith(boiler)
     assert not rows[0]["text_clean"].endswith(boiler)
+
+
+def test_spark_submit_prepare_corpus(tmp_path, spark):
+    """The FULL training-corpus preparation pipeline as one cluster job:
+    quality+language gate -> exact dedup -> LSH near-dup components ->
+    hashed-TF embedding + SQ8 codes — every stage exercised by a planted
+    doc, all through the --py-files zip."""
+    zip_path = str(tmp_path / "tiledspark.zip")
+    _build_zip(zip_path)
+
+    base = ("the quick brown fox jumps over the lazy dog and then it runs "
+            "far away into the deep green forest tonight").split()
+    texts = {}
+    # 30 good English docs (stopwords present -> lang=en, stop_ratio > 0)
+    for i in range(30):
+        texts[i] = "the fox is in w%d_a and it runs to of w%d_b that w%d_c" % (i, i, i)
+    texts[200] = "too short"                       # < 5 tokens
+    texts[201] = "the fox is carrying " + "x" * 120  # 120-char token
+    texts[202] = ("der hund ist nicht ein das und zu der die und das ist "
+                  "nicht ein zu haus")             # de -> rejected by --langs en
+    texts[100] = " ".join(base)
+    texts[101] = " ".join(base)                    # exact dup of 100
+    mut = list(base); mut[3] = "cat"
+    texts[102] = " ".join(mut)                     # near dup of 100
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(k, v) for k, v in sorted(texts.items())], "doc_id long, text string"
+    ).write.parquet(docs_path)
+
+    out_path = str(tmp_path / "prepared.parquet")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "prepare_corpus.py"),
+            "--docs", docs_path,
+            "--out", out_path,
+            "--langs", "en",
+            "--min-tokens", "5",
+            "--max-token-len", "80",
+            "--min-jaccard", "0.5",
+            "--emb-dim", "32",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["n_docs"] == 36
+    rej = stats["quality_rejected"]
+    assert rej["too_few_tokens"] == 1          # 200
+    assert rej["max_token_too_long"] == 1      # 201
+    assert rej["lang_rejected"] == 1           # 202
+    assert stats["n_after_quality"] == 33
+    assert stats["n_exact_dropped"] == 1       # 101
+    assert stats["n_near_dropped"] == 1 and stats["n_components"] == 1  # 102
+    assert stats["n_kept"] == 31
+    assert stats["embedded"] and len(stats["sq8_params"]["mins"]) == 32
+
+    kept = spark.read.parquet(out_path)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 100 in ids and not {101, 102, 200, 201, 202} & ids
+    dt = dict(kept.dtypes)
+    assert dt["embedding"] == "array<double>" and dt["code"] == "array<tinyint>"
+    # SQ8 invariant holds on the written output: every code decodes within
+    # step/2 of the float embedding
+    import numpy as np
+    p = stats["sq8_params"]
+    mins, steps = np.asarray(p["mins"]), np.asarray(p["steps"])
+    for r in kept.select("embedding", "code").collect():
+        x = np.asarray(r["embedding"])
+        dec = mins + (np.asarray(r["code"], np.float64) + 128.0) * steps
+        assert (np.abs(x - dec) <= steps / 2 + 1e-9).all()
