@@ -24,12 +24,14 @@ operators):
 4. NEAR-dup — banded MinHash LSH candidates (ids-only band exchange) at
    exact shingle Jaccard >= --min-jaccard, collapsed transitively via
    connected components; one keeper per component.
-5. EMBED (unless --no-embed) — hashed_tf_embedding (feature-hashing TF,
+5. SCRUB (optional, --scrub-pii) — emails/IPv4/intl-phone redaction into
+   a text_scrubbed column (native regexp, original text untouched).
+6. EMBED (unless --no-embed) — hashed_tf_embedding (feature-hashing TF,
    JVM-native) + SQ8 scalar quantization: the output carries BOTH the float
    embedding and the 1-byte/dim `code` column plus the trained quantizer
    params in the stats line (production readers keep only `code` at rest —
    4x smaller than float32).
-6. Write surviving docs and print ONE JSON stats line.
+7. Write surviving docs and print ONE JSON stats line.
 
 The stage chain mirrors the published web-corpus recipes (CCNet / Gopher /
 RefinedWeb shape): quality -> boilerplate -> exact -> fuzzy -> vectorize.
@@ -64,6 +66,10 @@ def main() -> None:
     ap.add_argument("--cc-impl", choices=("propagate", "star"), default="propagate")
     ap.add_argument("--emb-dim", type=int, default=64)
     ap.add_argument("--no-embed", action="store_true")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="add text_scrubbed + n_pii_* columns (emails, IPv4, "
+                         "intl phones redacted); the original text column is "
+                         "never mutated")
     args = ap.parse_args()
 
     from tiledspark.graph import dedup_keepers_with_labels
@@ -72,6 +78,7 @@ def main() -> None:
         hashed_tf_embedding,
         lang_id_expr,
         lsh_candidate_pairs,
+        scrub_pii,
     )
     from tiledspark.vector import sq8_train, with_sq8
 
@@ -165,6 +172,21 @@ def main() -> None:
         sq_params = sq8_train(kept.where(F.col("embedding").isNotNull()))
         kept = with_sq8(kept, sq_params)
 
+    # 6. optional PII redaction on the survivors (text_scrubbed column;
+    # the original text rides through untouched — byte-identity invariant)
+    pii_counts = None
+    if args.scrub_pii:
+        kept = scrub_pii(kept, text_col=args.text_col)
+        kept = kept.localCheckpoint()
+        pii_counts = {
+            k: int(v or 0)
+            for k, v in kept.agg(
+                F.sum("n_pii_email").alias("email"),
+                F.sum("n_pii_ipv4").alias("ipv4"),
+                F.sum("n_pii_phone").alias("phone"),
+            ).collect()[0].asDict().items()
+        }
+
     kept.write.mode("overwrite").parquet(args.out)
     print(
         json.dumps(
@@ -179,6 +201,7 @@ def main() -> None:
                 "n_near_dropped": n_exact - n_kept,
                 "n_kept": n_kept,
                 "embedded": not args.no_embed,
+                "pii_redacted": pii_counts,
                 "sq8_params": sq_params,
                 "out": args.out,
             }

@@ -263,6 +263,7 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     # 30 good English docs (stopwords present -> lang=en, stop_ratio > 0)
     for i in range(30):
         texts[i] = "the fox is in w%d_a and it runs to of w%d_b that w%d_c" % (i, i, i)
+    texts[0] += " mail bob@example.com now"   # PII planted in a surviving doc
     texts[200] = "too short"                       # < 5 tokens
     texts[201] = "the fox is carrying " + "x" * 120  # 120-char token
     texts[202] = ("der hund ist nicht ein das und zu der die und das ist "
@@ -293,6 +294,7 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
             "--max-token-len", "80",
             "--min-jaccard", "0.5",
             "--emb-dim", "32",
+            "--scrub-pii",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -312,12 +314,16 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     assert stats["n_near_dropped"] == 1 and stats["n_components"] == 1  # 102
     assert stats["n_kept"] == 31
     assert stats["embedded"] and len(stats["sq8_params"]["mins"]) == 32
+    assert stats["pii_redacted"]["email"] == 1
 
     kept = spark.read.parquet(out_path)
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert 100 in ids and not {101, 102, 200, 201, 202} & ids
     dt = dict(kept.dtypes)
     assert dt["embedding"] == "array<double>" and dt["code"] == "array<tinyint>"
+    scrub0 = kept.where("doc_id = 0").collect()[0]
+    assert "<PII:email>" in scrub0["text_scrubbed"]
+    assert "bob@example.com" in scrub0["text"]   # original untouched
     # SQ8 invariant holds on the written output: every code decodes within
     # step/2 of the float embedding
     import numpy as np

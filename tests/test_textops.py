@@ -764,3 +764,61 @@ def test_drop_boilerplate_lines_matches_python_mirror(spark):
             for r in drop_boilerplate_lines(df, max_df=max_df, strategy=strat).collect()
         }
         assert got == exp, f"{strat} mismatch"
+
+
+# --- scrub_pii (round 7) -------------------------------------------------------
+
+
+def test_scrub_pii_goldens(spark):
+    from tiledspark.textops import scrub_pii
+
+    rows = [
+        (0, "contact bob.smith+x@mail.example.co or +1 415-555-0199 now"),
+        (1, "server at 10.0.0.1 and 192.168.1.255 responded"),
+        (2, "no pii here at all"),
+        (3, None),
+        (4, "a@b.io a@b.io"),  # duplicate emails both counted + replaced
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert got[0]["n_pii_email"] == 1 and got[0]["n_pii_phone"] == 1
+    assert got[0]["text_scrubbed"] == "contact <PII:email> or <PII:phone> now"
+    assert got[1]["n_pii_ipv4"] == 2
+    assert got[1]["text_scrubbed"] == "server at <PII:ipv4> and <PII:ipv4> responded"
+    assert got[2]["text_scrubbed"] == "no pii here at all"
+    assert got[3]["text_scrubbed"] is None and got[3]["n_pii_email"] == 0
+    assert got[4]["n_pii_email"] == 2
+    assert got[4]["text_scrubbed"] == "<PII:email> <PII:email>"
+    # invariant: the original text column is untouched
+    assert got[0]["text"].startswith("contact bob.smith+x@")
+
+
+def test_scrub_pii_matches_python_re_mirror(spark):
+    """Randomized corpora: Spark's Java-regex counts and redaction equal a
+    pure-python re mirror (the patterns are portable by construction)."""
+    import re
+
+    import numpy as np
+
+    from tiledspark.textops import PII_PATTERNS, scrub_pii
+
+    rng = np.random.default_rng(123)
+    frags = [
+        "plain words", "x@y.com", "a.b@c.example.org", "10.1.2.3",
+        "+44 20 7946 0958", "1.2", "not@an", "@@", "+12", "255.255.255.255",
+        "word+word@host.net", "tel +1(650)555-2671 end",
+    ]
+    rows = []
+    for i in range(60):
+        n = rng.integers(1, 8)
+        rows.append((i, " ".join(str(frags[j]) for j in rng.integers(0, len(frags), n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    for i, text in rows:
+        expect = text
+        for kind in ("email", "ipv4", "phone"):
+            pat = PII_PATTERNS[kind]
+            assert got[i][f"n_pii_{kind}"] == len(re.findall(pat, text)), (kind, text)
+        for kind in ("email", "ipv4", "phone"):
+            expect = re.sub(PII_PATTERNS[kind], f"<PII:{kind}>", expect)
+        assert got[i]["text_scrubbed"] == expect, text

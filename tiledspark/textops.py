@@ -1083,3 +1083,55 @@ def hashed_tf_embedding(
             ).otherwise(F.col("_emb")).alias("_emb"),
         )
     return dense.select(F.col("_id").alias(id_col), F.col("_emb").alias(out_col))
+
+
+# --- PII scrubbing (round 7): training-corpus redaction ------------------------
+#
+# Standard training-data hygiene (the CCNet/RefinedWeb pipelines scrub
+# emails/IPs before release). Pure native regexp_count/regexp_replace —
+# JVM-side, codegen, no UDF — and the original text column is NEVER mutated
+# (the per-url byte-identity invariant): redaction lands in a new column.
+# Patterns use portable character classes (no lookarounds) so Java regex
+# (Spark), RE2 (DuckDB), and Python `re` agree match-for-match — the pytest
+# mirror test relies on this.
+
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — conservative: requires a dotted TLD of 2+ letters
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    # dotted-quad IPv4 (no octet-range check: redaction over precision)
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    # international-format phone: +country then 7-14 digits with -/space/()
+    "phone": r"\+[0-9][0-9() \-]{5,13}[0-9]",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_scrubbed",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+    token: str = "<PII:{kind}>",
+) -> DataFrame:
+    """Adds `out_col` (redacted text) plus one `n_pii_<kind>` count column
+    per requested kind. Counts are taken on the ORIGINAL text before any
+    replacement so kind A's redaction token can never perturb kind B's
+    count; replacements then apply in the order given. NULL text stays
+    NULL with zero counts."""
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"scrub_pii: unknown kinds {sorted(unknown)}")
+    out = df
+    for kind in kinds:
+        out = out.withColumn(
+            f"n_pii_{kind}",
+            F.coalesce(
+                F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[kind])),
+                F.lit(0),
+            ),
+        )
+    scrubbed = F.col(text_col)
+    for kind in kinds:
+        scrubbed = F.regexp_replace(
+            scrubbed, PII_PATTERNS[kind], token.format(kind=kind)
+        )
+    return out.withColumn(out_col, scrubbed)
