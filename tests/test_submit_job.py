@@ -333,3 +333,74 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
         x = np.asarray(r["embedding"])
         dec = mins + (np.asarray(r["code"], np.float64) + 128.0) * steps
         assert (np.abs(x - dec) <= steps / 2 + 1e-9).all()
+
+
+def test_spark_submit_append_corpus(tmp_path, spark):
+    """Incremental append: a new batch deduped against a stored base corpus
+    using its PERSISTED band signatures; keeper choice pinned against what
+    full-batch dedup over base ∪ batch would decide."""
+    zip_path = str(tmp_path / "tiledspark.zip")
+    _build_zip(zip_path)
+
+    base_words = ("the quick brown fox jumps over the lazy dog and then it "
+                  "runs far away into the deep green forest tonight").split()
+    base = {i: " ".join(f"b{i}_{j}" for j in range(25)) for i in range(20)}
+    base[100] = " ".join(base_words)
+    new = {1000 + i: " ".join(f"n{i}_{j}" for j in range(25)) for i in range(10)}
+    mut = list(base_words); mut[4] = "cat"
+    new[1100] = " ".join(mut)           # near-dup of base 100 -> dropped
+    new[1101] = " ".join(base_words)    # exact dup of base 100 -> dropped
+    m2 = list(mut); m2[10] = "swam"
+    new[1102] = " ".join(m2)            # chain 1100~1102: component anchored
+                                        # by base 100 -> dropped too
+    n3 = " ".join(f"q_{j}" for j in range(25))
+    new[1200] = n3
+    new[1201] = n3                      # new x new exact dup -> keep 1200 only
+
+    base_path = str(tmp_path / "base.parquet")
+    new_path = str(tmp_path / "new.parquet")
+    spark.createDataFrame(sorted(base.items()), "doc_id long, text string"
+                          ).write.parquet(base_path)
+    spark.createDataFrame(sorted(new.items()), "doc_id long, text string"
+                          ).write.parquet(new_path)
+
+    from tiledspark.textops import band_signatures
+    sig_path = str(tmp_path / "base_sigs.parquet")
+    band_signatures(spark.read.parquet(base_path), "doc_id").write.parquet(sig_path)
+
+    out_path = str(tmp_path / "kept.parquet")
+    sig_out = str(tmp_path / "new_sigs.parquet")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "append_corpus.py"),
+            "--new-docs", new_path,
+            "--base-docs", base_path,
+            "--base-signatures", sig_path,
+            "--signatures-out", sig_out,
+            "--out", out_path,
+            "--min-jaccard", "0.5",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["n_new"] == 15
+    assert stats["n_dropped_vs_base"] == 3      # 1100, 1101, 1102
+    assert stats["n_dropped_within_batch"] == 1  # 1201
+    assert stats["n_kept"] == 11
+    kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert 1200 in kept and not {1100, 1101, 1102, 1201} & kept
+    # kept-new signatures written for the next append
+    sigs = spark.read.parquet(sig_out)
+    assert set(sigs.columns) == {"doc_id", "band_idx", "band_hash"}
+    assert {r["doc_id"] for r in sigs.select("doc_id").distinct().collect()} == kept

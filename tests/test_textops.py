@@ -822,3 +822,98 @@ def test_scrub_pii_matches_python_re_mirror(spark):
         for kind in ("email", "ipv4", "phone"):
             expect = re.sub(PII_PATTERNS[kind], f"<PII:{kind}>", expect)
         assert got[i]["text_scrubbed"] == expect, text
+
+
+# --- incremental LSH (round 7) --------------------------------------------------
+
+
+def _inc_corpus():
+    """Base corpus + new batch with planted relations crossing the boundary:
+    new~base near-dup, new==base exact dup, new~new near-dup chain."""
+    base_words = ("the quick brown fox jumps over the lazy dog and then it "
+                  "runs far away into the deep green forest tonight").split()
+    base = {i: " ".join(f"b{i}_{j}" for j in range(25)) for i in range(30)}
+    base[100] = " ".join(base_words)
+    new = {}
+    for i in range(8):
+        new[1000 + i] = " ".join(f"n{i}_{j}" for j in range(25))
+    mut = list(base_words); mut[4] = "cat"
+    new[1100] = " ".join(mut)          # near-dup of base 100
+    new[1101] = " ".join(base_words)   # exact dup of base 100
+    mut2 = list(base_words); mut2[4] = "cat"; mut2[10] = "swam"
+    new[1102] = " ".join(mut2)         # near-dup of new 1100 (new x new)
+    return base, new
+
+
+def test_incremental_lsh_equals_full_batch_restriction(spark):
+    """lsh_candidate_pairs_incremental == full-batch lsh_candidate_pairs on
+    base ∪ new, restricted to pairs touching a new id (caps off, same
+    params) — the defining contract."""
+    from tiledspark.textops import lsh_candidate_pairs, lsh_candidate_pairs_incremental
+
+    base, new = _inc_corpus()
+    bdf = spark.createDataFrame(sorted(base.items()), "doc_id long, text string")
+    ndf = spark.createDataFrame(sorted(new.items()), "doc_id long, text string")
+
+    full = lsh_candidate_pairs(
+        bdf.unionByName(ndf), "doc_id", est_threshold=0.3, bucket_cap=None
+    ).collect()
+    new_ids = set(new)
+    want = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in full
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    got_rows = lsh_candidate_pairs_incremental(
+        ndf, bdf, "doc_id", est_threshold=0.3,
+        bucket_cap=None, cross_bucket_cap=None,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"]) for r in got_rows}
+    assert got == want and want, (sorted(want), sorted(got))
+    # the planted cross and intra-batch relations all surfaced
+    found = set(got)
+    assert (100, 1100) in found and (100, 1101) in found and (1100, 1102) in found
+
+
+def test_incremental_lsh_reuses_stored_band_signatures(tmp_path, spark):
+    """band_signatures persisted to parquet and passed back produce the
+    identical result — the base corpus is never re-signed on append."""
+    from tiledspark.textops import band_signatures, lsh_candidate_pairs_incremental
+
+    base, new = _inc_corpus()
+    bdf = spark.createDataFrame(sorted(base.items()), "doc_id long, text string")
+    ndf = spark.createDataFrame(sorted(new.items()), "doc_id long, text string")
+
+    sig_path = str(tmp_path / "base_bands.parquet")
+    band_signatures(bdf, "doc_id").write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+
+    fresh = lsh_candidate_pairs_incremental(
+        ndf, bdf, "doc_id", est_threshold=0.3,
+        bucket_cap=None, cross_bucket_cap=None,
+    ).collect()
+    reused = lsh_candidate_pairs_incremental(
+        ndf, bdf, "doc_id", est_threshold=0.3, base_banded=stored,
+        bucket_cap=None, cross_bucket_cap=None,
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(key, fresh)) == sorted(map(key, reused))
+    for a, b in zip(sorted(fresh, key=key), sorted(reused, key=key)):
+        assert a.asDict() == b.asDict()
+
+
+def test_incremental_cross_bucket_cap_deterministic(spark):
+    """cross_bucket_cap keeps the LOWEST base ids per (bucket, new doc) —
+    deterministic truncation, mirroring the full-batch cap rule."""
+    from tiledspark.textops import lsh_candidate_pairs_incremental
+
+    text = "x " * 40  # identical degenerate docs -> one bucket per band
+    bdf = spark.createDataFrame(
+        [(i, text) for i in range(10)], "doc_id long, text string"
+    )
+    ndf = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    got = lsh_candidate_pairs_incremental(
+        ndf, bdf, "doc_id", est_threshold=0.3,
+        bucket_cap=None, cross_bucket_cap=3,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 100), (1, 100), (2, 100)}

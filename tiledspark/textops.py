@@ -233,6 +233,12 @@ def _candidate_pair_frame(
     i<j pairs with higher-order functions — one signature computation, one
     ids-only exchange (the groupBy), zero corpus-sized broadcasts."""
     banded = _banded_ids(df, id_col, text_col, k, num_perm, bands)
+    return _pairs_from_banded(banded, bucket_cap)
+
+
+def _pairs_from_banded(banded: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """(_id, band_idx, band_hash) -> deduplicated (id_a < id_b) pairs via
+    the one-pass in-bucket expansion (see _candidate_pair_frame)."""
     buckets = banded.groupBy("band_idx", "band_hash").agg(
         F.array_sort(F.collect_list("_id")).alias("ids")
     )
@@ -291,7 +297,21 @@ def lsh_candidate_pairs(
     pairs = _candidate_pair_frame(
         df, id_col, text_col, k, num_perm, bands, bucket_cap
     ).localCheckpoint(eager=True)
+    return _verify_and_score(pairs, df, id_col, text_col, k, num_perm, est_threshold)
 
+
+def _verify_and_score(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_perm: int,
+    est_threshold: float,
+) -> DataFrame:
+    """Exact-verify candidate (id_a, id_b) pairs against the doc frame:
+    signatures + shingle sets re-derived for the CANDIDATE DOCS ONLY via a
+    semi join, then est/exact Jaccard scored and thresholded."""
     # re-derive signatures + shingles for the surviving candidate DOCS only
     # (semi join on the checkpointed ids — small by construction, so AQE
     # broadcasts it; the full-corpus with_minhash pass of rounds 1-6 is gone)
@@ -1135,3 +1155,108 @@ def scrub_pii(
             scrubbed, PII_PATTERNS[kind], token.format(kind=kind)
         )
     return out.withColumn(out_col, scrubbed)
+
+
+# --- incremental near-dup dedup (round 7): append a batch to a corpus ----------
+#
+# The production shape: a deduped 100-TB corpus already exists; a crawl
+# batch of B new docs arrives. Re-running full-batch LSH would re-shingle
+# and re-sign the WHOLE base corpus per append. Instead the base corpus
+# stores its band signatures once (band_signatures -> parquet, 16 longs per
+# doc — written bucketed by (band_idx, band_hash) the bucket groupBy needs
+# no exchange at all), and each append pays:
+#   O(B) signing for the new batch
+#   new x new  : the standard in-bucket expansion on the new batch alone
+#   new x base : an equi-join of the (tiny) new band keys against the
+#                stored base signatures — AQE broadcasts the new side, so
+#                the base frame is map-side filtered, never shuffled
+#   verify     : exact Jaccard on candidate DOCS only (semi joins into the
+#                new and base text frames — the base text is touched only
+#                for its candidate rows, column-pruned)
+# Doc ids must be globally unique across base and batch (documented
+# contract; the output canonicalizes id_a < id_b numerically, matching
+# full-batch lsh_candidate_pairs).
+
+
+def band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """-> (id_col, band_idx, band_hash): the storable banded-signature frame
+    an incremental pipeline persists once per corpus. Parameters (k,
+    num_perm, bands) must match between the stored frame and later
+    lsh_candidate_pairs_incremental calls — store them alongside."""
+    return _banded_ids(df, id_col, text_col, k, num_perm, bands).select(
+        F.col("_id").alias(id_col), "band_idx", "band_hash"
+    )
+
+
+def lsh_candidate_pairs_incremental(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    est_threshold: float = 0.5,
+    base_banded: DataFrame | None = None,
+    bucket_cap: int | None = 1000,
+    cross_bucket_cap: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING THE NEW BATCH: (id_a, id_b, est_jaccard,
+    exact_jaccard, n_inter, n_union), id_a < id_b — the union of new x new
+    and new x base candidates, exact-verified. With the same params and
+    caps disabled, equals full-batch lsh_candidate_pairs(base ∪ new)
+    restricted to pairs with >= 1 new id (pinned by test).
+
+    base_banded: pass the stored band_signatures frame to skip re-signing
+    the base corpus (the point of the API); omitted, it is derived from
+    base_docs here. bucket_cap truncates new x new buckets exactly like
+    lsh_candidate_pairs; cross_bucket_cap bounds base matches PER (band
+    bucket, new doc), lowest base ids kept — both deterministic, both
+    reportable via lsh_capped_buckets on the respective frames."""
+    new_banded = _banded_ids(
+        new_docs, id_col, text_col, k, num_perm, bands
+    ).localCheckpoint(eager=True)  # signed once, read by both candidate paths
+
+    if base_banded is None:
+        base_b = _banded_ids(
+            base_docs, id_col, text_col, k, num_perm, bands
+        ).select(F.col("_id").alias("_bid"), "band_idx", "band_hash")
+    else:
+        base_b = base_banded.select(
+            F.col(id_col).alias("_bid"), "band_idx", "band_hash"
+        )
+
+    nn = _pairs_from_banded(new_banded, bucket_cap)
+
+    cross = new_banded.join(base_b, ["band_idx", "band_hash"]).select(
+        "band_idx", "band_hash", F.col("_id").alias("_nid"), "_bid"
+    )
+    if cross_bucket_cap is not None:
+        w = Window.partitionBy("band_idx", "band_hash", "_nid").orderBy(F.asc("_bid"))
+        cross = (
+            cross.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cross_bucket_cap)
+            .drop("_rn")
+        )
+    cross = cross.select(
+        F.least("_nid", "_bid").alias("id_a"), F.greatest("_nid", "_bid").alias("id_b")
+    )
+
+    pairs = (
+        nn.unionByName(cross)
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
+    )
+    docs_all = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        base_docs.select(F.col(id_col), F.col(text_col))
+    )
+    return _verify_and_score(
+        pairs, docs_all, id_col, text_col, k, num_perm, est_threshold
+    )
