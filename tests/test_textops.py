@@ -917,3 +917,33 @@ def test_incremental_cross_bucket_cap_deterministic(spark):
         bucket_cap=None, cross_bucket_cap=3,
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 100), (1, 100), (2, 100)}
+
+
+def test_incremental_lsh_base_text_touched_only_for_candidates(spark):
+    """With stored signatures, the base TEXT frame is read only for exact-
+    verify candidates: corrupting the text of a base doc that never becomes
+    a candidate leaves the output row-identical — the scale claim (no full
+    base re-scan per append) as a behavioral contract."""
+    from tiledspark.textops import band_signatures, lsh_candidate_pairs_incremental
+
+    base, new = _inc_corpus()
+    bdf = spark.createDataFrame(sorted(base.items()), "doc_id long, text string")
+    ndf = spark.createDataFrame(sorted(new.items()), "doc_id long, text string")
+    stored = band_signatures(bdf, "doc_id").localCheckpoint()
+
+    clean = lsh_candidate_pairs_incremental(
+        ndf, bdf, "doc_id", est_threshold=0.3, base_banded=stored,
+        bucket_cap=None, cross_bucket_cap=None,
+    ).collect()
+    # doc 5 is filler (b5_*): no new doc shares any shingle with it, so it
+    # can never survive candidate banding; poison its text
+    poisoned_rows = [(k, "POISONED" if k == 5 else v) for k, v in sorted(base.items())]
+    bdf_p = spark.createDataFrame(poisoned_rows, "doc_id long, text string")
+    poisoned = lsh_candidate_pairs_incremental(
+        ndf, bdf_p, "doc_id", est_threshold=0.3, base_banded=stored,
+        bucket_cap=None, cross_bucket_cap=None,
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(key, clean)) == sorted(map(key, poisoned))
+    for a, b in zip(sorted(clean, key=key), sorted(poisoned, key=key)):
+        assert a.asDict() == b.asDict()
