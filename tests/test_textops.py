@@ -947,3 +947,83 @@ def test_incremental_lsh_base_text_touched_only_for_candidates(spark):
     assert sorted(map(key, clean)) == sorted(map(key, poisoned))
     for a, b in zip(sorted(clean, key=key), sorted(poisoned, key=key)):
         assert a.asDict() == b.asDict()
+
+
+# --- containment_pairs (round 7) ------------------------------------------------
+
+
+def test_containment_finds_what_jaccard_misses(spark):
+    """A paragraph quoted inside a much larger page: symmetric Jaccard at
+    0.5 never fires, containment ~1.0 does — the operator's reason to
+    exist."""
+    import numpy as np
+
+    from tiledspark.textops import containment_pairs, ngram_jaccard_pairs
+
+    rng = np.random.default_rng(5)
+    para = " ".join(f"quote{j}word" for j in range(40))          # ~500 chars
+    page = (
+        " ".join(f"intro{j}" for j in range(150))
+        + " " + para + " "
+        + " ".join(f"outro{j}" for j in range(150))
+    )
+    fillers = [(i, " ".join(f"f{i}_{j}" for j in range(60))) for i in range(10)]
+    rows = fillers + [(100, para), (101, page)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    jac = ngram_jaccard_pairs(df, "doc_id", min_jaccard=0.5).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {100, 101}]
+
+    got = containment_pairs(df, "doc_id", min_containment=0.8).collect()
+    pairs = {(r["id_small"], r["id_big"]): r["containment"] for r in got}
+    assert (100, 101) in pairs and pairs[(100, 101)] >= 0.9
+    # fillers share nothing: the planted pair is the only row
+    assert set(pairs) == {(100, 101)}
+
+
+def test_containment_matches_python_mirror(spark):
+    """Scores equal a pure-python mirror over _np_winnow fingerprint sets on
+    a randomized corpus with planted sub-documents."""
+    import numpy as np
+
+    from tiledspark.textops import (
+        DEFAULT_WINNOW_K,
+        DEFAULT_WINNOW_W,
+        _np_winnow,
+        containment_pairs,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{v}" for v in range(80)]
+    texts = {}
+    for i in range(12):
+        texts[i] = " ".join(rng.choice(vocab, 50))
+    texts[50] = texts[0] + " " + texts[1]            # contains 0 and 1
+    texts[51] = " ".join(rng.choice(vocab, 8))        # short doc
+    texts[52] = texts[51] + " " + texts[2] + " tail"  # contains 51 and 2
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+
+    fps = {
+        i: set(_np_winnow(t, DEFAULT_WINNOW_K, DEFAULT_WINNOW_W))
+        for i, t in texts.items()
+    }
+    want = {}
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            fa, fb = fps[a], fps[b]
+            if not fa or not fb:
+                continue
+            if (len(fa), a) <= (len(fb), b):
+                small, big, fs = a, b, fa
+            else:
+                small, big, fs = b, a, fb
+            inter = len(fa & fb)
+            if inter >= 0.8 * len(fs):
+                want[(small, big)] = (inter, len(fs))
+    got = {
+        (r["id_small"], r["id_big"]): (r["n_inter"], r["n_small"])
+        for r in containment_pairs(df, "doc_id", min_containment=0.8).collect()
+    }
+    assert got == want and (0, 50) in got and (51, 52) in got

@@ -1260,3 +1260,86 @@ def lsh_candidate_pairs_incremental(
     return _verify_and_score(
         pairs, docs_all, id_col, text_col, k, num_perm, est_threshold
     )
+
+
+# --- containment detection (round 7): doc-inside-doc, what Jaccard misses ------
+#
+# A 200-char paragraph quoted inside a 4,000-char page has Jaccard ~0.05 —
+# no symmetric near-dup threshold ever fires — yet it is exactly the
+# duplication a training corpus wants to know about (syndicated quotes,
+# boilerplate inclusions, subset pages). The MOSS measure: containment of
+# A in B = |fp(A) ∩ fp(B)| / |fp(A)| over winnowed rolling-hash
+# fingerprints. Winnowing's guarantee (shared substrings of length >=
+# w+k-1 always share a fingerprint) makes the postings join 100%-recall
+# for any pair with containment > 0 — the same by-construction blocking
+# story as ngram_jaccard_pairs, with the fingerprint set (~2/w of
+# positions) as the cheaper posting currency.
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = DEFAULT_WINNOW_K,
+    w: int = DEFAULT_WINNOW_W,
+    min_containment: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """-> (id_small, id_big, n_inter, n_small, n_big, containment) for every
+    pair whose SMALLER fingerprint set is >= min_containment contained in
+    the larger's (ties on set size: the lower id is id_small;
+    deterministic). Postings carry (fingerprint, id) longs only; max_df
+    drops corpus-frequent fingerprints from candidate GENERATION (the same
+    100-TB boilerplate knob as ngram_jaccard_pairs — scores are computed on
+    the FULL sets either way)."""
+    fp = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                winnow_fingerprints_udf(k, w)(F.col(text_col))
+            ).alias("fpset"),
+        )
+        .where(F.size("fpset") > 0)
+    )
+    post = fp.select("_id", F.explode("fpset").alias("f"))
+    if max_df is not None:
+        dfw = Window.partitionBy("f")
+        post = post.withColumn("_df", F.count(F.lit(1)).over(dfw)).where(
+            F.col("_df") <= max_df
+        ).drop("_df")
+    cand = (
+        post.select(F.col("f"), F.col("_id").alias("id_a"))
+        .join(post.select(F.col("f"), F.col("_id").alias("id_b")), "f")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = (
+        cand.join(fp.select(F.col("_id").alias("id_a"), F.col("fpset").alias("fp_a")), "id_a")
+        .join(fp.select(F.col("_id").alias("id_b"), F.col("fpset").alias("fp_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("fp_a", "fp_b")).alias("n_inter"),
+            F.size("fp_a").alias("na"),
+            F.size("fp_b").alias("nb"),
+        )
+    )
+    a_small = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    out = scored.select(
+        F.when(a_small, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
+        F.when(a_small, F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
+        "n_inter",
+        F.when(a_small, F.col("na")).otherwise(F.col("nb")).alias("n_small"),
+        F.when(a_small, F.col("nb")).otherwise(F.col("na")).alias("n_big"),
+    ).withColumn(
+        "containment",
+        F.col("n_inter").cast("double") / F.col("n_small").cast("double"),
+    )
+    # integer-exact threshold, same boundary discipline as the jaccard ops
+    return out.where(
+        F.col("n_inter").cast("double")
+        >= F.lit(min_containment) * F.col("n_small").cast("double")
+    )
