@@ -435,27 +435,74 @@ def dedup_simhash(spark, sf_dir):
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b
+    ),
+    {_winnow_oracle_ctes()},
+    wpost AS (SELECT doc_id, UNNEST(fps) AS f FROM winnow_p WHERE len(fps) > 0),
+    wcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM wpost a JOIN wpost b ON a.f = b.f AND a.doc_id < b.doc_id
+    ),
+    wscored AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(pa.fps, pb.fps)) AS INTEGER) AS n_inter,
+               CAST(len(pa.fps) AS INTEGER) AS na,
+               CAST(len(pb.fps) AS INTEGER) AS nb
+        FROM wcand c
+        JOIN winnow_p pa ON pa.doc_id = c.id_a
+        JOIN winnow_p pb ON pb.doc_id = c.id_b
+    ),
+    wnorm AS (
+        SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_a,
+               CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_b,
+               n_inter,
+               CASE WHEN na <= nb THEN na ELSE nb END AS n_denom
+        FROM wscored
     )
-    SELECT id_a, id_b, n_inter, n_union
+    SELECT 'jaccard' AS mode, id_a, id_b, n_inter, n_union AS n_denom
     FROM scored
     WHERE CAST(n_inter AS DOUBLE) >= 0.5 * CAST(n_union AS DOUBLE)
+    UNION ALL
+    SELECT 'containment' AS mode, id_a, id_b, n_inter, n_denom
+    FROM wnorm
+    WHERE CAST(n_inter AS DOUBLE) >= 0.9 * CAST(n_denom AS DOUBLE)
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """EXACT n-gram Jaccard dedup (round 5 — the one dedup mode in the
-    driver brief without its own registry entry; fills the slot freed by
-    retiring tile_tree_build, whose state machine tile_tree_rollup already
-    oracles). Unlike the LSH row this operator is deterministic end-to-end:
+    """TAGGED UNION (round 7): mode='jaccard' = exact n-gram Jaccard dedup
+    (round 5 — the one dedup mode in the driver brief without its own
+    registry entry); mode='containment' = MOSS-style winnow-fingerprint
+    containment (op 85), the asymmetric doc-inside-doc relation Jaccard
+    misses — registry stays at 50. Unlike the LSH row this operator is deterministic end-to-end:
     inverted-index blocking has 100% recall for any pair with jaccard > 0
     (they share a shingle), so Spark set == DuckDB set is a full
     correctness check of the operator, not a recall claim. The Spark side
     exchanges (xxhash64(shingle), id) postings — collisions only add
     candidates and the exact filter removes them (textops.py). Integer
     (n_inter, n_union) output for a rounding-proof value hash."""
-    from tiledspark.textops import ngram_jaccard_pairs
+    from tiledspark.textops import containment_pairs, ngram_jaccard_pairs
 
     d = table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", min_jaccard=0.5).orderBy("id_a", "id_b")
+    jac = ngram_jaccard_pairs(d, "doc_id", min_jaccard=0.5).select(
+        F.lit("jaccard").alias("mode"),
+        "id_a", "id_b", "n_inter",
+        F.col("n_union").alias("n_denom"),
+    )
+    # round 7: tagged-union second mode — MOSS-style winnow-fingerprint
+    # CONTAINMENT (op 85): the asymmetric doc-inside-doc relation symmetric
+    # Jaccard misses; id_a = the contained (smaller-fp-set) side, ties ->
+    # lower id (wcand already orders id_a < id_b, so na == nb keeps id_a —
+    # the SQL's na <= nb branch is exactly Spark's tie-break). DuckDB
+    # re-derives the ENTIRE path: winnow fingerprints (polynomial rolling
+    # hash in HUGEINT, window minima, distinct), fingerprint postings,
+    # intersection counts, small-side normalization.
+    con = containment_pairs(d, "doc_id", min_containment=0.9).select(
+        F.lit("containment").alias("mode"),
+        F.col("id_small").alias("id_a"),
+        F.col("id_big").alias("id_b"),
+        "n_inter",
+        F.col("n_small").alias("n_denom"),
+    )
+    return jac.unionByName(con).orderBy("mode", "id_a", "id_b")
 
 
 def _langid_oracle_sql() -> str:
