@@ -17,6 +17,9 @@ operators):
    average token length, max token length, stopword ratio (Gopher-style
    screens) and the stopword-argmax language id; rows failing any screen or
    outside --langs are dropped, with per-reason counts reported.
+1b. REPETITION screens (optional, --max-dup-line-frac / --max-top-bigram-frac)
+   — Gopher-style intra-document repetition fractions (duplicated-line
+   chars, top-bigram chars) over the gate survivors; one narrow exchange.
 2. BOILERPLATE (optional, --boilerplate-max-df N) — corpus-level line-df
    filter (textops.drop_boilerplate_lines); similarity stages below read the
    cleaned column, the original text column is never mutated.
@@ -60,6 +63,12 @@ def main() -> None:
     ap.add_argument("--max-token-len", type=int, default=80)
     ap.add_argument("--min-stop-ratio", type=float, default=0.0,
                     help="Gopher-style floor on stopword ratio; 0 disables")
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="Gopher repetition screen: drop docs whose "
+                         "duplicated-line char fraction exceeds this")
+    ap.add_argument("--max-top-bigram-frac", type=float, default=None,
+                    help="Gopher repetition screen: drop docs whose most "
+                         "frequent bigram covers more than this char fraction")
     ap.add_argument("--boilerplate-max-df", type=int, default=None)
     ap.add_argument("--min-jaccard", type=float, default=0.5)
     ap.add_argument("--est-threshold", type=float, default=0.2)
@@ -78,6 +87,7 @@ def main() -> None:
         hashed_tf_embedding,
         lang_id_expr,
         lsh_candidate_pairs,
+        repetition_stats,
         scrub_pii,
     )
     from tiledspark.vector import sq8_train, with_sq8
@@ -129,6 +139,30 @@ def main() -> None:
         "_n_tokens", "_avg_tok", "_max_tok", "_stop_ratio", "_ok"
     ).withColumnRenamed("_lang", "lang_pred")
     n_quality = docs.count()
+
+    # 1b. optional repetition screens (Gopher rules) — run on gate survivors
+    # only: the bigram signal costs one narrow (id, bigram) exchange, so it
+    # comes after the cheap projection gate has already shed the junk
+    rep_rejected = None
+    if args.max_dup_line_frac is not None or args.max_top_bigram_frac is not None:
+        docs = repetition_stats(docs, id_col=idc, text_col=txt).localCheckpoint()
+        ok_line = (
+            F.col("dup_line_char_frac") <= args.max_dup_line_frac
+            if args.max_dup_line_frac is not None else F.lit(True)
+        )
+        ok_bg = (
+            F.col("top_bigram_frac") <= args.max_top_bigram_frac
+            if args.max_top_bigram_frac is not None else F.lit(True)
+        )
+        rep_rejected = {
+            k: int(v or 0)
+            for k, v in docs.agg(
+                F.sum((~ok_line).cast("long")).alias("dup_line"),
+                F.sum((ok_line & ~ok_bg).cast("long")).alias("top_bigram"),
+            ).collect()[0].asDict().items()
+        }
+        docs = docs.where(ok_line & ok_bg)
+    n_before_dedup = n_quality - sum((rep_rejected or {}).values())
 
     # 2. optional boilerplate stage (similarity reads the cleaned column)
     n_boiler_lines = 0
@@ -194,8 +228,9 @@ def main() -> None:
                 "n_docs": n_docs,
                 "quality_rejected": {k: int(v or 0) for k, v in reasons.items()},
                 "n_after_quality": n_quality,
+                "repetition_rejected": rep_rejected,
                 "n_boiler_lines_dropped": int(n_boiler_lines),
-                "n_exact_dropped": n_quality - n_exact,
+                "n_exact_dropped": n_before_dedup - n_exact,
                 "n_near_pairs": n_pairs,
                 "n_components": n_components,
                 "n_near_dropped": n_exact - n_kept,

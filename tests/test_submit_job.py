@@ -264,6 +264,8 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     for i in range(30):
         texts[i] = "the fox is in w%d_a and it runs to of w%d_b that w%d_c" % (i, i, i)
     texts[0] += " mail bob@example.com now"   # PII planted in a surviving doc
+    rep_line = "the fox is in the den w300"
+    texts[300] = "\n".join([rep_line] * 3)     # dup-line frac 1.0 -> rejected
     texts[200] = "too short"                       # < 5 tokens
     texts[201] = "the fox is carrying " + "x" * 120  # 120-char token
     texts[202] = ("der hund ist nicht ein das und zu der die und das ist "
@@ -295,6 +297,7 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
             "--min-jaccard", "0.5",
             "--emb-dim", "32",
             "--scrub-pii",
+            "--max-dup-line-frac", "0.9",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -304,12 +307,13 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
-    assert stats["n_docs"] == 36
+    assert stats["n_docs"] == 37
     rej = stats["quality_rejected"]
     assert rej["too_few_tokens"] == 1          # 200
     assert rej["max_token_too_long"] == 1      # 201
     assert rej["lang_rejected"] == 1           # 202
-    assert stats["n_after_quality"] == 33
+    assert stats["n_after_quality"] == 34      # incl. the repetitive doc 300
+    assert stats["repetition_rejected"] == {"dup_line": 1, "top_bigram": 0}
     assert stats["n_exact_dropped"] == 1       # 101
     assert stats["n_near_dropped"] == 1 and stats["n_components"] == 1  # 102
     assert stats["n_kept"] == 31
@@ -318,7 +322,7 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
 
     kept = spark.read.parquet(out_path)
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
-    assert 100 in ids and not {101, 102, 200, 201, 202} & ids
+    assert 100 in ids and not {101, 102, 200, 201, 202, 300} & ids
     dt = dict(kept.dtypes)
     assert dt["embedding"] == "array<double>" and dt["code"] == "array<tinyint>"
     scrub0 = kept.where("doc_id = 0").collect()[0]

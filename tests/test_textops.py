@@ -1027,3 +1027,71 @@ def test_containment_matches_python_mirror(spark):
         for r in containment_pairs(df, "doc_id", min_containment=0.8).collect()
     }
     assert got == want and (0, 50) in got and (51, 52) in got
+
+
+# --- repetition_stats (round 7) --------------------------------------------------
+
+
+def test_repetition_stats_goldens(spark):
+    from tiledspark.textops import repetition_stats
+
+    rows = [
+        # 2 identical lines + 1 unique: dup chars = 2*5, total = 15
+        (0, "aaaaa\nbbbbb\naaaaa"),
+        # no repetition anywhere
+        (1, "one two three four five six"),
+        # "spam ham" stamped 4x: count 4, len 8; total chars 35
+        (2, "spam ham spam ham spam ham spam ham"),
+        (3, None),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert abs(got[0]["dup_line_char_frac"] - 10 / 15) < 1e-12
+    assert got[1]["dup_line_char_frac"] == 0.0
+    # doc 2: bigrams = [spam ham, ham spam, spam ham, ...] -> "spam ham" x4
+    assert abs(got[2]["top_bigram_frac"] - (4 * 8) / 35) < 1e-12
+    assert got[3]["dup_line_char_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] == 0.0  # < 2 tokens
+
+
+def test_repetition_stats_matches_python_mirror(spark):
+    """Randomized docs: both fractions equal a pure-python mirror."""
+    from collections import Counter
+
+    import numpy as np
+
+    from tiledspark.textops import repetition_stats
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{v}" for v in range(12)]
+    rows = []
+    for i in range(50):
+        n_lines = rng.integers(1, 6)
+        lines = [
+            " ".join(rng.choice(vocab, rng.integers(1, 7))) for _ in range(n_lines)
+        ]
+        if rng.random() < 0.4 and lines:
+            lines.append(lines[0])  # planted duplicate line
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, text in rows:
+        lines = [ln for ln in text.split("\n") if ln]
+        tot = sum(len(ln) for ln in lines)
+        cnt = Counter(lines)
+        dup = sum(len(ln) for ln in lines if cnt[ln] > 1)
+        want_line = dup / tot if tot else 0.0
+        toks = [t for t in text.split(" ") if t]
+        # mirror treats the doc as one token stream (newlines are not
+        # token separators for the bigram signal — same as the operator)
+        toks = [t for t in text.replace("\n", " ").split(" ") if t]
+        if len(toks) >= 2:
+            bgs = [f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)]
+            c = Counter(bgs)
+            best = max(c.items(), key=lambda kv: (kv[1], len(kv[0]), kv[0]))
+            want_bg = best[1] * len(best[0]) / len(text)
+        else:
+            want_bg = 0.0
+        assert abs(got[i]["dup_line_char_frac"] - want_line) < 1e-12, (i, text)
+        assert abs(got[i]["top_bigram_frac"] - want_bg) < 1e-12, (i, text)

@@ -1343,3 +1343,90 @@ def containment_pairs(
         F.col("n_inter").cast("double")
         >= F.lit(min_containment) * F.col("n_small").cast("double")
     )
+
+
+# --- intra-document repetition stats (round 7): the Gopher repetition screens --
+#
+# Machine-generated and templated pages repeat themselves INTERNALLY —
+# duplicated lines, one bigram stamped hundreds of times. The Gopher /
+# MassiveText quality rules screen on exactly these fractions. Two signals:
+#   dup_line_char_frac : chars in lines whose text occurs more than once in
+#                        the document / total line chars (all occurrences
+#                        counted — a fully duplicated doc scores ~1.0)
+#   top_bigram_frac    : chars in the single most frequent word bigram
+#                        (count x its char length) / total text chars
+# Scale shape: lines are compared WITHIN a row by HOFs (a page has tens of
+# lines — the O(lines^2) filter is per-row constant work); bigram counting
+# rides an explode -> (id, bigram) groupBy — the hashed_tf exchange shape,
+# map-side combined, nothing document-sized shuffled.
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> input columns + (dup_line_char_frac, top_bigram_frac), both double
+    in [0,1], 0.0 for docs with no lines / fewer than 2 tokens. NULL text
+    -> 0.0 on both (nothing to screen)."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0)
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    with_lines = df.withColumn(
+        "dup_line_char_frac",
+        F.when(
+            F.col(text_col).isNotNull() & (total_chars > 0),
+            dup_chars.cast("double") / total_chars.cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+    # bigrams see one whitespace-delimited token stream (newlines separate
+    # tokens too — a line break between "spam ham" occurrences must not
+    # mint distinct bigrams)
+    toks = F.filter(F.split(F.col(text_col), "[ \n]"), lambda x: F.length(x) > 0)
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    exploded = with_lines.select(
+        F.col(id_col).alias("_rid"),
+        F.length(text_col).alias("_tot"),
+        F.explode(
+            F.when(F.col(text_col).isNotNull() & (n >= 2), bigrams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("_bg"),
+    )
+    top = (
+        exploded.groupBy("_rid", "_tot", "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_rid", "_tot")
+        .agg(
+            # total order: count, then bigram length, then the bigram string
+            # itself — deterministic winner under any tie pattern
+            F.max(
+                F.struct(F.col("_c"), F.length("_bg").alias("_l"), F.col("_bg"))
+            ).alias("_m")
+        )
+        .select(
+            "_rid",
+            (
+                (F.col("_m._c") * F.col("_m._l")).cast("double")
+                / F.col("_tot").cast("double")
+            ).alias("top_bigram_frac"),
+        )
+    )
+    out = with_lines.join(
+        top.withColumnRenamed("_rid", id_col), id_col, "left"
+    ).withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+    return out
