@@ -201,3 +201,73 @@ def test_apply_diff_is_idempotent_per_tag(spark, tmp_path, pages_path):
     sid2 = store.apply_diff(spark, delta, row_key="url", key_col="tile_id", tag="diff_batch=0")
     assert sid1 == sid2
     assert store.snapshots() == [1, 2], "replay must not create a third layer"
+
+
+def test_stream_near_dedupe_across_batches(spark, tmp_path):
+    """Cross-batch MinHash dedup: a batch-2 doc near-dupping a batch-1
+    keeper is dropped, new content survives, signatures accumulate, and a
+    replayed file is fully absorbed (self-healing idempotence)."""
+    from tiledspark.streaming import stream_near_dedupe
+
+    base_words = ("the quick brown fox jumps over the lazy dog and then it "
+                  "runs far away into the deep green forest tonight").split()
+    mut = list(base_words); mut[4] = "cat"
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    b1 = [(1, " ".join(base_words)), (2, " ".join(f"u2_{j}" for j in range(25)))]
+    b2 = [
+        (3, " ".join(mut)),                              # near-dup of kept 1
+        (4, " ".join(f"u4_{j}" for j in range(25))),     # new
+        (5, " ".join(f"u4_{j}" for j in range(25))),     # exact dup of 4 (in-batch)
+    ]
+    # flat part files with ordered mtimes: the file source forms one
+    # micro-batch per file in modification-time order
+    import glob
+    import os
+    import shutil
+    import time
+
+    def _write_batch(rows, name, age_s):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = str(docs_dir / name)
+        shutil.copy(part, dst)
+        ts = time.time() - age_s
+        os.utime(dst, (ts, ts))
+
+    _write_batch(b1, "f1.parquet", 200)
+    _write_batch(b2, "f2.parquet", 100)
+
+    out_dir, sig_dir = str(tmp_path / "kept"), str(tmp_path / "sigs")
+    stats = stream_near_dedupe(
+        spark, str(docs_dir), out_dir, sig_dir, str(tmp_path / "ckpt"),
+        files_per_trigger=1,
+    )
+    assert len(stats) == 2
+    by_batch = {s["batch_id"]: s for s in stats}
+    assert by_batch[0]["n_kept"] == 2
+    assert by_batch[1]["n_dropped_vs_history"] == 1       # doc 3
+    assert by_batch[1]["n_dropped_within_batch"] == 1     # doc 5
+    assert by_batch[1]["n_kept"] == 1                     # doc 4
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {1, 2, 4}
+    sig_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(sig_dir).select("doc_id").distinct().collect()
+    }
+    assert sig_ids == kept
+
+    # replay: drop the checkpoint and stream the SAME files again into the
+    # same stores — the id guard absorbs every doc, nothing duplicates
+    stats2 = stream_near_dedupe(
+        spark, str(docs_dir), out_dir, sig_dir, str(tmp_path / "ckpt2"),
+        files_per_trigger=1,
+    )
+    assert all(s["n_kept"] == 0 for s in stats2)
+    assert sum(s["n_dropped_replay"] for s in stats2) == 3  # ids 1, 2, 4
+    replay_kept = [r["doc_id"] for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(replay_kept) == [1, 2, 4]

@@ -230,3 +230,119 @@ def stateful_tile_counts(spark: SparkSession, diffs_dir: str, checkpoint_dir: st
     q.processAllAvailable()
     q.stop()
     return spark.sql("SELECT * FROM stateful_tile_counts").collect()
+
+
+# --- streaming near-dup dedup (round 7): dedupe a stream against its history ----
+
+def stream_near_dedupe(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    schema: str = "doc_id long, text string",
+    min_jaccard: float = 0.5,
+    files_per_trigger: int = 1,
+) -> list[dict]:
+    """MinHash near-dup dedup ACROSS the whole stream history: each
+    micro-batch is deduped against every doc kept so far (plus within
+    itself), survivors append to out_dir and their band signatures to
+    sig_dir — so the history is never re-signed (the incremental-append
+    scale shape, textops.lsh_candidate_pairs_incremental, inside
+    foreachBatch). Keeper semantics match full-batch dedup over
+    history ∪ batch: components anchored by a history doc drop all their
+    batch members (op 84's rule).
+
+    Replay/idempotence: ids already present in the signature store are
+    dropped up front (exact id-replay guard), and a replayed batch's
+    byte-identical survivors would in any case near-dup their own history
+    copies at Jaccard 1.0 — a foreachBatch retry is self-healing, never a
+    duplicate append. Returns per-batch stats dicts (test/smoke harness;
+    on a cluster this runs unbounded)."""
+    import os
+
+    from tiledspark.graph import connected_components
+    from tiledspark.textops import band_signatures, lsh_candidate_pairs_incremental
+
+    stats: list[dict] = []
+
+    def _has_parquet(d: str) -> bool:
+        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+    def _dedupe_batch(batch_df: DataFrame, batch_id: int):
+        batch_df = batch_df.localCheckpoint()
+        n_in = batch_df.count()
+        have_history = _has_parquet(sig_dir)
+        n_replay = 0
+        if have_history:
+            sigs = spark.read.parquet(sig_dir)
+            seen_ids = sigs.select(id_col).dropDuplicates([id_col])
+            fresh = batch_df.join(seen_ids, id_col, "left_anti").localCheckpoint()
+            n_replay = n_in - fresh.count()
+        else:
+            fresh = batch_df
+
+        if have_history:
+            base_docs = spark.read.parquet(out_dir)
+            pairs = lsh_candidate_pairs_incremental(
+                fresh, base_docs, id_col, text_col=text_col,
+                base_banded=spark.read.parquet(sig_dir),
+            )
+        else:
+            from tiledspark.textops import lsh_candidate_pairs
+
+            pairs = lsh_candidate_pairs(fresh, id_col, text_col=text_col)
+        pairs = pairs.where(
+            F.col("n_inter").cast("double")
+            >= F.lit(min_jaccard) * F.col("n_union").cast("double")
+        ).select("id_a", "id_b").localCheckpoint()
+
+        new_ids = fresh.select(F.col(id_col).alias("id"))
+        if pairs.take(1):
+            labels = connected_components(pairs)
+            lab_new = labels.join(new_ids, "id", "left_semi")
+            anchored = labels.join(new_ids, "id", "left_anti").select("comp").distinct()
+            drop_hist = lab_new.join(anchored, "comp", "left_semi").select("id")
+            floating = lab_new.join(anchored, "comp", "left_anti")
+            keep_floating = floating.groupBy("comp").agg(F.min("id").alias("id"))
+            drop_within = floating.join(
+                keep_floating.select("id"), "id", "left_anti"
+            ).select("id")
+            n_hist = drop_hist.count()
+            n_within = drop_within.count()
+            dropped = drop_hist.unionByName(drop_within).withColumnRenamed("id", id_col)
+            kept = fresh.join(dropped, id_col, "left_anti").localCheckpoint()
+        else:
+            n_hist = n_within = 0
+            kept = fresh
+        n_kept = kept.count()
+        kept.write.mode("append").parquet(out_dir)
+        band_signatures(kept, id_col, text_col=text_col).write.mode("append").parquet(
+            sig_dir
+        )
+        stats.append(
+            {
+                "batch_id": batch_id,
+                "n_in": n_in,
+                "n_dropped_replay": n_replay,
+                "n_dropped_vs_history": n_hist,
+                "n_dropped_within_batch": n_within,
+                "n_kept": n_kept,
+            }
+        )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(_dedupe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
