@@ -20,6 +20,8 @@ operators):
 1b. REPETITION screens (optional, --max-dup-line-frac / --max-top-bigram-frac)
    — Gopher-style intra-document repetition fractions (duplicated-line
    chars, top-bigram chars) over the gate survivors; one narrow exchange.
+1c. SURPRISAL band (optional, --min/--max-mean-surprisal) — CCNet-style
+   quality band on unigram mean surprisal, self-trained on the survivors.
 2. BOILERPLATE (optional, --boilerplate-max-df N) — corpus-level line-df
    filter (textops.drop_boilerplate_lines); similarity stages below read the
    cleaned column, the original text column is never mutated.
@@ -69,6 +71,12 @@ def main() -> None:
     ap.add_argument("--max-top-bigram-frac", type=float, default=None,
                     help="Gopher repetition screen: drop docs whose most "
                          "frequent bigram covers more than this char fraction")
+    ap.add_argument("--min-mean-surprisal", type=float, default=None,
+                    help="CCNet-style band screen: drop docs whose unigram "
+                         "mean surprisal (bits/token, self-trained on the "
+                         "gate survivors) is below this (boilerplate)")
+    ap.add_argument("--max-mean-surprisal", type=float, default=None,
+                    help="...or above this (gibberish / OOV soup)")
     ap.add_argument("--boilerplate-max-df", type=int, default=None)
     ap.add_argument("--min-jaccard", type=float, default=0.5)
     ap.add_argument("--est-threshold", type=float, default=0.2)
@@ -89,6 +97,8 @@ def main() -> None:
         lsh_candidate_pairs,
         repetition_stats,
         scrub_pii,
+        train_unigram_logprobs,
+        with_unigram_surprisal,
     )
     from tiledspark.vector import sq8_train, with_sq8
 
@@ -162,7 +172,36 @@ def main() -> None:
             ).collect()[0].asDict().items()
         }
         docs = docs.where(ok_line & ok_bg)
-    n_before_dedup = n_quality - sum((rep_rejected or {}).values())
+    # 1c. optional surprisal band screen (CCNet shape, unigram approximation
+    # self-trained on the survivors; see textops for the swap-to-KenLM note)
+    surprisal_rejected = None
+    if args.min_mean_surprisal is not None or args.max_mean_surprisal is not None:
+        ref = train_unigram_logprobs(docs, text_col=txt).localCheckpoint()
+        docs = with_unigram_surprisal(
+            docs, ref, id_col=idc, text_col=txt
+        ).localCheckpoint()
+        ok_lo = (
+            F.col("mean_surprisal") >= args.min_mean_surprisal
+            if args.min_mean_surprisal is not None else F.lit(True)
+        )
+        ok_hi = (
+            F.col("mean_surprisal") <= args.max_mean_surprisal
+            if args.max_mean_surprisal is not None else F.lit(True)
+        )
+        surprisal_rejected = {
+            k: int(v or 0)
+            for k, v in docs.agg(
+                F.sum((~ok_lo).cast("long")).alias("too_low"),
+                F.sum((ok_lo & ~ok_hi).cast("long")).alias("too_high"),
+            ).collect()[0].asDict().items()
+        }
+        docs = docs.where(ok_lo & ok_hi)
+
+    n_before_dedup = (
+        n_quality
+        - sum((rep_rejected or {}).values())
+        - sum((surprisal_rejected or {}).values())
+    )
 
     # 2. optional boilerplate stage (similarity reads the cleaned column)
     n_boiler_lines = 0
@@ -229,6 +268,7 @@ def main() -> None:
                 "quality_rejected": {k: int(v or 0) for k, v in reasons.items()},
                 "n_after_quality": n_quality,
                 "repetition_rejected": rep_rejected,
+                "surprisal_rejected": surprisal_rejected,
                 "n_boiler_lines_dropped": int(n_boiler_lines),
                 "n_exact_dropped": n_before_dedup - n_exact,
                 "n_near_pairs": n_pairs,

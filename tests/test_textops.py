@@ -1095,3 +1095,84 @@ def test_repetition_stats_matches_python_mirror(spark):
             want_bg = 0.0
         assert abs(got[i]["dup_line_char_frac"] - want_line) < 1e-12, (i, text)
         assert abs(got[i]["top_bigram_frac"] - want_bg) < 1e-12, (i, text)
+
+
+# --- unigram surprisal (round 7) --------------------------------------------------
+
+
+def test_unigram_surprisal_matches_python_mirror(spark):
+    from collections import Counter
+    from math import log2
+
+    import numpy as np
+
+    from tiledspark.textops import train_unigram_logprobs, with_unigram_surprisal
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{v}" for v in range(30)]
+    # zipfy draw so the profile has real frequency structure
+    p = 1.0 / np.arange(1, len(vocab) + 1); p /= p.sum()
+    rows = [
+        (i, " ".join(rng.choice(vocab, rng.integers(5, 40), p=p)))
+        for i in range(40)
+    ]
+    rows.append((100, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ref = train_unigram_logprobs(df).localCheckpoint()
+    got = {
+        r["doc_id"]: r["mean_surprisal"]
+        for r in with_unigram_surprisal(df, ref).collect()
+    }
+
+    cnt = Counter(t for _, x in rows if x for t in x.split(" ") if t)
+    total = sum(cnt.values())
+    logp = {t: log2(n / total) for t, n in cnt.items()}
+    for i, text in rows:
+        if text is None:
+            assert got[i] is None
+            continue
+        toks = [t for t in text.split(" ") if t]
+        want = -sum(logp[t] for t in toks) / len(toks)
+        assert abs(got[i] - want) < 1e-9, i
+
+
+def test_unigram_surprisal_separates_gibberish_and_boilerplate(spark):
+    """The CCNet band story: against a clean reference, OOV gibberish scores
+    HIGH, a repeated common token scores LOW, prose sits between."""
+    from tiledspark.textops import train_unigram_logprobs, with_unigram_surprisal
+
+    clean_rows = [
+        (i, "the quick brown fox jumps over the lazy dog in the green forest")
+        for i in range(20)
+    ]
+    ref = train_unigram_logprobs(
+        spark.createDataFrame(clean_rows, "doc_id long, text string")
+    ).localCheckpoint()
+
+    test_rows = [
+        (0, "the fox jumps over the lazy dog"),             # prose
+        (1, "zxqv wvut qqzz xkcd vvvv zzzz yyyy"),          # gibberish (all OOV)
+        (2, "the the the the the the the the"),             # boilerplate
+    ]
+    got = {
+        r["doc_id"]: r["mean_surprisal"]
+        for r in with_unigram_surprisal(
+            spark.createDataFrame(test_rows, "doc_id long, text string"), ref
+        ).collect()
+    }
+    assert got[2] < got[0] < got[1]
+
+
+def test_unigram_vocab_cap_floors_rare_tokens(spark):
+    from tiledspark.textops import train_unigram_logprobs, with_unigram_surprisal
+
+    rows = [(0, "common common common common rare1 rare2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = train_unigram_logprobs(df, vocab_cap=1).localCheckpoint()  # keeps 'common'
+    assert ref.count() == 1
+    # rare tokens take the floor = min profile logp = logp('common'):
+    # every token then scores identically -> mean = -log2(4/6)
+    from math import log2
+    got = with_unigram_surprisal(df, ref).collect()[0]["mean_surprisal"]
+    assert abs(got - (-log2(4 / 6))) < 1e-9

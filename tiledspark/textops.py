@@ -1430,3 +1430,84 @@ def repetition_stats(
         top.withColumnRenamed("_rid", id_col), id_col, "left"
     ).withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
     return out
+
+
+# --- unigram surprisal scoring (round 7): the CCNet LM-quality filter shape ----
+#
+# CCNet ranks crawl docs by language-model perplexity against a clean
+# reference corpus (gibberish scores high, boilerplate scores low, prose
+# sits in the middle band). No external LM exists in this environment, so
+# the honest offline approximation is a UNIGRAM model: train token
+# frequencies on a reference corpus (or the corpus itself), score each doc
+# by mean -log2 P(token). The shape matches the real thing — train once,
+# broadcast the profile, score at scan speed — and swaps to a KenLM-style
+# table on a real cluster without changing either exchange.
+#
+# Scale: training is one map-side-combined (token, count) exchange with the
+# vocabulary capped to the top-N tokens (the profile must broadcast); OOV
+# tokens take the floor probability 1/total. Scoring is explode ->
+# broadcast join -> one (id, sum, count) re-agg. Nothing document-sized
+# shuffles.
+
+
+def train_unigram_logprobs(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_cap: int = 65_536,
+) -> DataFrame:
+    """-> (token, logp) reference profile: log2(count/total) for the
+    vocab_cap most frequent tokens (ties broken token-asc, deterministic).
+    `total` counts EVERY token occurrence (in- and out-of-vocab), so
+    probabilities are honest corpus frequencies, not renormalized to the
+    kept vocabulary."""
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.col(text_col), "[ \\n]")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n")).collect()[0][0]
+    if not total:
+        raise ValueError("train_unigram_logprobs: no tokens in the corpus")
+    # top-N via orderBy+limit = TakeOrderedAndProject (map-side top-N per
+    # partition, distributed) — a row_number window here would be a
+    # single-task global sort over the whole vocabulary
+    return (
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_cap)
+        .select(
+            "token",
+            (F.log2(F.col("n").cast("double")) - F.lit(float(np.log2(total)))).alias("logp"),
+        )
+    )
+
+
+def with_unigram_surprisal(
+    df: DataFrame,
+    reference: DataFrame,
+    total_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "mean_surprisal",
+) -> DataFrame:
+    """Adds `mean_surprisal` = mean over the doc's tokens of -log2 P(token)
+    under the reference profile; OOV tokens take the floor probability
+    2^(min profile logp) (i.e. as rare as the rarest profiled token —
+    pass total_tokens to use 1/total instead). NULL/empty docs -> NULL.
+    reference: (token, logp) from train_unigram_logprobs (broadcast — cap
+    the vocab so it fits)."""
+    if total_tokens is not None:
+        floor = -float(np.log2(total_tokens))
+    else:
+        floor = reference.agg(F.min("logp")).collect()[0][0]
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_sid"),
+        F.explode(F.split(F.col(text_col), "[ \\n]")).alias("token"),
+    ).where(F.col("token") != "")
+    scored = (
+        toks.join(F.broadcast(reference), "token", "left")
+        .withColumn("_lp", F.coalesce("logp", F.lit(float(floor))))
+        .groupBy("_sid")
+        .agg((-F.avg("_lp")).alias(out_col))
+    )
+    return df.join(
+        scored.withColumnRenamed("_sid", id_col), id_col, "left"
+    )
