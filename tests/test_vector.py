@@ -379,3 +379,24 @@ def test_sq8_topk_guaranteed_k_tiny_corpus(spark):
     emb = spark.createDataFrame(pdf)
     got = ann_topk_sq8(spark, emb, [1.0] * 64, k=10, rerank_factor=4).collect()
     assert len(got) == 6
+
+
+def test_sq8_batch_matches_single_calls(spark):
+    """ann_topk_sq8_batch == N single ann_topk_sq8 calls, per query."""
+    from tiledspark.vector import ann_topk_sq8, ann_topk_sq8_batch, sq8_train, with_sq8
+
+    pdf = _clustered_embeddings()
+    emb = spark.createDataFrame(pdf)
+    params = sq8_train(emb)
+    coded = with_sq8(emb, params).localCheckpoint()
+    mats = np.array([np.asarray(e, np.float64) for e in pdf["embedding"]])
+    queries = [(int(pdf["vec_id"][i]), [float(v) for v in mats[i]]) for i in (0, 57, 311)]
+
+    batch = ann_topk_sq8_batch(spark, coded, queries, k=5, params=params).toPandas()
+    for qid, qv in queries:
+        single = ann_topk_sq8(spark, coded, qv, k=5, params=params).toPandas()
+        got = batch[batch["query_id"] == qid].sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True]
+        )
+        assert got["vec_id"].tolist() == single["vec_id"].tolist(), qid
+        assert np.allclose(got["cos_sim"].to_numpy(), single["cos_sim"].to_numpy())

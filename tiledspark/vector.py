@@ -675,3 +675,51 @@ def ann_topk_sq8(
         .select(id_col, "cos_sim")
         .limit(k)
     )
+
+
+def ann_topk_sq8_batch(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    code_col: str = "code",
+    params: dict | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """N-query SQ8 top-k -> (query_id, vec_id, cos_sim), identical per-query
+    results to N ann_topk_sq8 calls (asserted in tests) with job count
+    independent of N: ONE pass scores every (doc, query) approximate cosine
+    against the broadcast query table, a per-query window keeps the top
+    R = rerank_factor*k, and the exact rerank runs on those N*R rows."""
+    if not queries:
+        raise ValueError("ann_topk_sq8_batch: empty query list")
+    if params is None:
+        params = sq8_train(emb, emb_col)
+        emb = with_sq8(emb, params, emb_col, code_col)
+    r = max(int(rerank_factor) * k, k)
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, _qv array<double>",
+    )
+    approx = (
+        emb.join(F.broadcast(qdf))
+        .withColumn(
+            "_approx",
+            _cos_expr(sq8_decode_expr(F.col(code_col), params), F.col("_qv")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_approx"), F.asc(id_col))
+    shortlist = (
+        approx.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= r)
+        .drop("_rn", "_approx")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        shortlist.withColumn("cos_sim", _cos_expr(F.col(emb_col), F.col("_qv")))
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .select("query_id", id_col, "cos_sim")
+    )
