@@ -61,7 +61,44 @@ def _winnow_oracle_ctes() -> str:
 @query(
     "text_stats",
     f"""
-    WITH {_winnow_oracle_ctes()}
+    WITH {_winnow_oracle_ctes()},
+    rep_lines AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\n'), x -> LENGTH(x) > 0) AS lines
+      FROM documents WHERE text IS NOT NULL
+    ),
+    rep_line_frac AS (
+      SELECT doc_id,
+        CASE WHEN COALESCE(total, 0) = 0 THEN 0.0
+             ELSE CAST(dup AS DOUBLE) / total END AS dup_line_char_frac
+      FROM (
+        SELECT doc_id,
+          COALESCE(list_sum(list_transform(lines, x -> LENGTH(x))), 0) AS total,
+          COALESCE(list_sum(list_transform(lines,
+            x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+                 THEN LENGTH(x) ELSE 0 END)), 0) AS dup
+        FROM rep_lines)
+    ),
+    rep_toks AS (
+      SELECT doc_id, LENGTH(text) AS tot,
+             list_filter(regexp_split_to_array(text, '[ \n]'), x -> LENGTH(x) > 0) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    rep_bg_counts AS (
+      SELECT doc_id, tot, bg, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, tot,
+               UNNEST([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg
+        FROM rep_toks WHERE len(toks) >= 2)
+      GROUP BY doc_id, tot, bg
+    ),
+    rep_top AS (
+      SELECT doc_id,
+        CAST(max(struct_pack(c := c, l := LENGTH(bg), bg := bg)).c
+             * max(struct_pack(c := c, l := LENGTH(bg), bg := bg)).l AS DOUBLE)
+          / any_value(tot) AS top_bigram_frac
+      FROM rep_bg_counts GROUP BY doc_id
+    )
     SELECT doc_id,
            LEN(string_split(text, ' ')) AS n_tokens,
            LEN(list_distinct(string_split(text, ' '))) AS n_distinct,
@@ -88,7 +125,11 @@ def _winnow_oracle_ctes() -> str:
            (SELECT CAST(len(p.fps) AS INTEGER) FROM winnow_p p
             WHERE p.doc_id = documents.doc_id) AS n_winnow_fp,
            (SELECT list_min(p.fps) FROM winnow_p p
-            WHERE p.doc_id = documents.doc_id) AS winnow_min_fp
+            WHERE p.doc_id = documents.doc_id) AS winnow_min_fp,
+           COALESCE((SELECT r.dup_line_char_frac FROM rep_line_frac r
+                     WHERE r.doc_id = documents.doc_id), 0.0) AS dup_line_char_frac,
+           COALESCE((SELECT t.top_bigram_frac FROM rep_top t
+                     WHERE t.doc_id = documents.doc_id), 0.0) AS top_bigram_frac
     FROM documents
     """,
 )
@@ -102,7 +143,7 @@ def text_stats(spark, sf_dir):
     SQL. These two columns are the one Arrow-UDF step in this otherwise
     codegen-pure query (the winnow kernel is vectorized numpy,
     textops._np_winnow)."""
-    from tiledspark.textops import winnow_fingerprints_udf
+    from tiledspark.textops import repetition_stats, winnow_fingerprints_udf
 
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -149,7 +190,16 @@ def text_stats(spark, sf_dir):
         "*",
         F.size("_wf").alias("n_winnow_fp"),
         F.array_min("_wf").alias("winnow_min_fp"),
-    ).drop("_wf")
+    ).drop("_wf").join(
+        # round 7 (op 86 oracled): the Gopher repetition signals join the
+        # row; both are exact int/int -> double divisions, so no rounding
+        # is needed for hash parity (IEEE division is deterministic in both
+        # engines; ROUND tie behavior never enters)
+        repetition_stats(d.select("doc_id", "text")).select(
+            "doc_id", "dup_line_char_frac", "top_bigram_frac"
+        ),
+        "doc_id",
+    )
 
 
 _BOILER_1 = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
