@@ -298,6 +298,10 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
             "--emb-dim", "32",
             "--scrub-pii",
             "--max-dup-line-frac", "0.9",
+            # non-binding band: exercises the surprisal stage wiring without
+            # changing outcomes (the band test itself is library-level)
+            "--min-mean-surprisal", "0.0",
+            "--max-mean-surprisal", "1e9",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -314,6 +318,7 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     assert rej["lang_rejected"] == 1           # 202
     assert stats["n_after_quality"] == 34      # incl. the repetitive doc 300
     assert stats["repetition_rejected"] == {"dup_line": 1, "top_bigram": 0}
+    assert stats["surprisal_rejected"] == {"too_low": 0, "too_high": 0}
     assert stats["n_exact_dropped"] == 1       # 101
     assert stats["n_near_dropped"] == 1 and stats["n_components"] == 1  # 102
     assert stats["n_kept"] == 31
