@@ -100,3 +100,33 @@ def test_knn_rounds_do_not_accumulate_lineage(spark):
     for p in plans:
         assert "Join" not in p, f"frontier plan still contains joins:\n{p[:800]}"
         assert "Scan ExistingRDD" in p or "LogicalRDD" in p or "Checkpoint" in p
+
+
+def test_knn_self_join_matches_bruteforce(spark):
+    """Corpus-as-queries: every doc's k nearest OTHERS equal the numpy
+    all-pairs oracle, including co-located distinct docs (self excluded by
+    key, never by rank)."""
+    from tiledspark.knn import knn_self_join
+
+    rng = np.random.default_rng(7)
+    n = 120
+    lat = rng.uniform(-50, 60, n)
+    lon = rng.uniform(-160, 160, n)
+    # two co-located pairs: dist-0 neighbors must survive self-exclusion
+    lat[10], lon[10] = lat[11], lon[11]
+    lat[20], lon[20] = lat[21], lon[21]
+    pdf = pd.DataFrame({"url": [f"u{i:03d}" for i in range(n)], "lat": lat, "lon": lon})
+    docs = spark.createDataFrame(pdf)
+
+    got = knn_self_join(spark, docs, k=3, zoom=6, max_radius=32).toPandas()
+    urls = pdf["url"].to_numpy()
+    for i in range(n):
+        d = _np_haversine(lat[i], lon[i], lat, lon)
+        d[i] = np.inf  # exclude self by identity, like the operator
+        order = np.lexsort((urls, d))[:3]
+        sub = got[got["query_key"] == urls[i]].sort_values("rank")
+        assert list(sub["url"]) == list(urls[order]), urls[i]
+    # the co-located partner is each pair's rank-1 neighbor at dist 0
+    for a, b in ((10, 11), (20, 21)):
+        row = got[(got["query_key"] == urls[a]) & (got["rank"] == 1)].iloc[0]
+        assert row["url"] == urls[b] and row["dist_m"] == 0.0

@@ -302,3 +302,42 @@ def knn_cell_ring(
         out = out.unionByName(p)
     doc_cells.unpersist()
     return out
+
+
+def knn_self_join(
+    spark: SparkSession,
+    docs: DataFrame,
+    k: int = 5,
+    zoom: int = 8,
+    doc_key: str = "url",
+    max_radius: int = 64,
+    growth: int = 4,
+    adaptive_start: bool = True,
+) -> DataFrame:
+    """k nearest OTHER docs for EVERY doc (the all-pairs spatial workload:
+    nearest-neighbor statistics, density features, duplicate-location
+    detection) -> (query_key, rank, <doc_key>, dist_m).
+
+    Pure composition: every doc becomes a query into the same cell-ring
+    engine (the query side is a DataFrame, so corpus-as-queries needs no
+    new machinery — the driver loop is per-ROUND, not per-query). Self
+    matches are excluded AFTER resolution by asking for k+1 and re-ranking:
+    a doc's own row is dist 0 but co-located distinct docs also score 0, so
+    filtering by key (not by rank-1) keeps exactly the true k others.
+    adaptive_start defaults ON here — corpus-as-queries is precisely the
+    large mixed-density batch the per-query start radius was measured 1.65x
+    on (see knn_cell_ring's docstring)."""
+    queries = docs.where(
+        F.col("lat").isNotNull() & F.col("lon").isNotNull()
+    ).select(F.col(doc_key).alias("query_id"), "lat", "lon")
+    got = knn_cell_ring(
+        spark, docs, queries, k=k + 1, zoom=zoom, doc_key=doc_key,
+        max_radius=max_radius, growth=growth, adaptive_start=adaptive_start,
+    )
+    out = got.where(F.col("query_id") != F.col(doc_key))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_m"), F.asc(doc_key))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("query_id").alias("query_key"), "rank", doc_key, "dist_m")
+    )
