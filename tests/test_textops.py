@@ -1029,6 +1029,34 @@ def test_containment_matches_python_mirror(spark):
     assert got == want and (0, 50) in got and (51, 52) in got
 
 
+def test_containment_bucket_cap_bounds_degenerate_corpus(spark):
+    """Round 8 (VERDICT r7 #2): one boilerplate paragraph shared by EVERY
+    doc is an O(n^2) single-fingerprint blowup without a cap. Under
+    bucket_cap=10 candidate generation is bounded to the 10 lowest-id
+    postings per fingerprint (pairs only among those), and the truncation
+    is REPORTED, not silent."""
+    from tiledspark.textops import containment_capped_buckets, containment_pairs
+
+    boiler = "this exact boilerplate paragraph appears in every single page"
+    rows = [(i, boiler + f" unique tail number {i} " + "x" * (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = containment_pairs(df, "doc_id", min_containment=0.5, bucket_cap=10).toPandas()
+    # bounded: each fingerprint contributes at most C(10,2) pairs, so the
+    # boilerplate fp's 19,900-pair blowup cannot happen (small legitimate
+    # fps — shared tail k-grams — still pair freely below their cap)
+    assert len(capped) < 2000  # nowhere near C(200,2)=19900
+
+    report = containment_capped_buckets(df, "doc_id", bucket_cap=10).toPandas()
+    assert len(report) >= 1 and (report["size"] > 10).all()
+    assert report["size"].max() == 200  # the boilerplate fp posts every doc
+
+    # exhaustive mode (the oracle row's config) is unchanged by the default:
+    # all C(200,2) boilerplate pairs qualify at containment >= 0.5
+    full = containment_pairs(df, "doc_id", min_containment=0.5, bucket_cap=None)
+    assert full.count() == 200 * 199 / 2
+
+
 # --- repetition_stats (round 7) --------------------------------------------------
 
 

@@ -400,3 +400,109 @@ def test_sq8_batch_matches_single_calls(spark):
         )
         assert got["vec_id"].tolist() == single["vec_id"].tolist(), qid
         assert np.allclose(got["cos_sim"].to_numpy(), single["cos_sim"].to_numpy())
+
+
+# --- knn_embedding_self_join (round 8): SemDeDup-shape all-docs kNN ----------
+
+
+def _np_self_knn(pdf, k):
+    """All-pairs numpy oracle: every vector's k nearest OTHERS by cosine,
+    ties cos desc then id asc — {query_id: [(vec_id, cos), ...]}."""
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array([np.asarray(e, np.float64) for e in pdf["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    cs = (mat @ mat.T) / np.outer(norms, norms)
+    out = {}
+    for i, qid in enumerate(ids):
+        row = cs[i].copy()
+        row[i] = -np.inf  # self excluded by key
+        order = np.lexsort((ids, -row))
+        order = [j for j in order if j != i][:k]
+        out[int(qid)] = [(int(ids[j]), float(row[j])) for j in order]
+    return out
+
+
+def test_knn_embedding_self_join_exact_mode(spark):
+    """n_probe = n_centroids (every cell probed) + rerank window >= corpus
+    => the operator IS brute force: ids, ranks, and exact cosine scores must
+    all match the all-pairs numpy oracle."""
+    from tiledspark.vector import knn_embedding_self_join
+
+    pdf = _clustered_embeddings(n_clusters=5, per_cluster=12, dim=16, seed=5)
+    emb = spark.createDataFrame(pdf)
+    k = 4
+    got = knn_embedding_self_join(
+        spark, emb, k=k, n_centroids=8, n_probe=8, rerank_factor=20
+    ).toPandas()
+    oracle = _np_self_knn(pdf, k)
+    assert len(got) == len(pdf) * k
+    for qid, exp in oracle.items():
+        rows = got[got["query_id"] == qid].sort_values("rank")
+        assert rows["vec_id"].tolist() == [v for v, _ in exp], qid
+        assert np.allclose(
+            rows["cos_sim"].to_numpy(), [c for _, c in exp], atol=1e-9
+        ), qid
+
+
+def test_knn_embedding_self_join_guaranteed_k_tiny(spark):
+    """Tiny corpus, one vector per cell: EVERY query's probed cells hold
+    fewer than k others, so the whole corpus rides the escalation path —
+    which must equal brute force (exact scores) and never return < k rows."""
+    from tiledspark.vector import knn_embedding_self_join
+
+    rng = np.random.default_rng(13)
+    n, dim, k = 8, 16, 5
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [
+                rng.standard_normal(dim).astype(np.float32).tolist()
+                for _ in range(n)
+            ],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    got = knn_embedding_self_join(
+        spark, emb, k=k, n_centroids=8, n_probe=1, rerank_factor=1
+    ).toPandas()
+    oracle = _np_self_knn(pdf, k)
+    assert len(got) == n * k, "guaranteed-k violated"
+    for qid, exp in oracle.items():
+        rows = got[got["query_id"] == qid].sort_values("rank")
+        assert rows["vec_id"].tolist() == [v for v, _ in exp], qid
+        assert np.allclose(rows["cos_sim"].to_numpy(), [c for _, c in exp], atol=1e-9)
+
+
+def test_knn_embedding_self_join_recall_clustered(spark):
+    """Default params on a clustered corpus (the workload the operator is
+    for — SemDeDup neighborhoods inside semantic clusters): every query
+    returns exactly k rows and mean recall@k vs the numpy oracle >= 0.8."""
+    from tiledspark.vector import knn_embedding_self_join
+
+    pdf = _clustered_embeddings(n_clusters=10, per_cluster=20, dim=32, seed=9)
+    emb = spark.createDataFrame(pdf)
+    k = 5
+    got = knn_embedding_self_join(spark, emb, k=k).toPandas()
+    counts = got.groupby("query_id").size()
+    assert len(counts) == len(pdf) and (counts == k).all()
+    oracle = _np_self_knn(pdf, k)
+    recs = []
+    for qid, exp in oracle.items():
+        have = set(got[got["query_id"] == qid]["vec_id"].tolist())
+        recs.append(len(have & {v for v, _ in exp}) / k)
+    assert float(np.mean(recs)) >= 0.8, float(np.mean(recs))
+
+
+def test_ivf_hot_cells_report(spark):
+    """No-silent-skew report: a cell holding more than cell_cap vectors is
+    reported with its size; balanced cells are not."""
+    from tiledspark.vector import ivf_hot_cells, ivf_train_centroids
+
+    pdf = _clustered_embeddings(n_clusters=4, per_cluster=30, dim=16, seed=3)
+    emb = spark.createDataFrame(pdf)
+    cents = ivf_train_centroids(emb, n_centroids=4)
+    hot = ivf_hot_cells(emb, cents, cell_cap=25).toPandas()
+    assert len(hot) >= 1 and (hot["size"] > 25).all()
+    none = ivf_hot_cells(emb, cents, cell_cap=1000).count()
+    assert none == 0

@@ -561,7 +561,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # re-derives the ENTIRE path: winnow fingerprints (polynomial rolling
     # hash in HUGEINT, window minima, distinct), fingerprint postings,
     # intersection counts, small-side normalization.
-    con = containment_pairs(d, "doc_id", min_containment=0.9).select(
+    # bucket_cap=None: the DuckDB side re-derives the EXHAUSTIVE postings
+    # join, so the oracle row must not truncate (round-8 default cap is for
+    # production corpora; containment_capped_buckets reports what it drops)
+    con = containment_pairs(d, "doc_id", min_containment=0.9, bucket_cap=None).select(
         F.lit("containment").alias("mode"),
         F.col("id_small").alias("id_a"),
         F.col("id_big").alias("id_b"),

@@ -1276,22 +1276,39 @@ def lsh_candidate_pairs_incremental(
 # positions) as the cheaper posting currency.
 
 
-def containment_pairs(
+DEFAULT_CONTAINMENT_BUCKET_CAP = 1000
+
+
+def containment_capped_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     k: int = DEFAULT_WINNOW_K,
     w: int = DEFAULT_WINNOW_W,
-    min_containment: float = 0.8,
+    bucket_cap: int = DEFAULT_CONTAINMENT_BUCKET_CAP,
     max_df: int | None = None,
 ) -> DataFrame:
-    """-> (id_small, id_big, n_inter, n_small, n_big, containment) for every
-    pair whose SMALLER fingerprint set is >= min_containment contained in
-    the larger's (ties on set size: the lower id is id_small;
-    deterministic). Postings carry (fingerprint, id) longs only; max_df
-    drops corpus-frequent fingerprints from candidate GENERATION (the same
-    100-TB boilerplate knob as ngram_jaccard_pairs — scores are computed on
-    the FULL sets either way)."""
+    """No-silent-caps report (the lsh_capped_buckets contract): every winnow
+    fingerprint whose posting list exceeds bucket_cap — the postings
+    containment_pairs truncates under the default cap. At web scale these
+    are corpus-frequent fingerprints (boilerplate paragraphs, license
+    headers); the report makes the skipped comparisons auditable."""
+    _, post = _containment_postings(df, id_col, text_col, k, w, max_df)
+    return (
+        post.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > bucket_cap)
+    )
+
+
+def _containment_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
     fp = (
         df.where(F.col(text_col).isNotNull())
         .select(
@@ -1308,6 +1325,43 @@ def containment_pairs(
         post = post.withColumn("_df", F.count(F.lit(1)).over(dfw)).where(
             F.col("_df") <= max_df
         ).drop("_df")
+    return fp, post
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = DEFAULT_WINNOW_K,
+    w: int = DEFAULT_WINNOW_W,
+    min_containment: float = 0.8,
+    max_df: int | None = None,
+    bucket_cap: int | None = DEFAULT_CONTAINMENT_BUCKET_CAP,
+) -> DataFrame:
+    """-> (id_small, id_big, n_inter, n_small, n_big, containment) for every
+    pair whose SMALLER fingerprint set is >= min_containment contained in
+    the larger's (ties on set size: the lower id is id_small;
+    deterministic). Postings carry (fingerprint, id) longs only; max_df
+    drops corpus-frequent fingerprints from candidate GENERATION (the same
+    100-TB boilerplate knob as ngram_jaccard_pairs — scores are computed on
+    the FULL sets either way).
+
+    bucket_cap (round 8, VERDICT r7 "What's wrong" #2): the postings
+    self-join generates O(df^2) candidate pairs for a fingerprint shared by
+    df documents — one boilerplate paragraph stamped across a 100-TB crawl
+    is an unbounded single-bucket blowup. Posting lists beyond bucket_cap
+    are truncated DETERMINISTICALLY (by id order, the lsh/simhash
+    convention) and containment_capped_buckets reports every truncated
+    fingerprint. Pass bucket_cap=None for exhaustive mode (required when
+    the result feeds an exactness oracle)."""
+    fp, post = _containment_postings(df, id_col, text_col, k, w, max_df)
+    if bucket_cap is not None:
+        bw = Window.partitionBy("f").orderBy("_id")
+        post = (
+            post.withColumn("_bn", F.row_number().over(bw))
+            .where(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
     cand = (
         post.select(F.col("f"), F.col("_id").alias("id_a"))
         .join(post.select(F.col("f"), F.col("_id").alias("id_b")), "f")

@@ -498,6 +498,215 @@ def ann_topk_ivf_batch(
     return _score_and_rank(spark, cand, queries, k, id_col, emb_col)
 
 
+def with_ivf_probes(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int,
+    emb_col: str = "embedding",
+    out_col: str = "probe_cells",
+) -> DataFrame:
+    """Adds `probe_cells` (array<int>): the n_probe nearest centroid ids in
+    ascending-L2 order, Arrow-vectorized batch matmul (one argsort per batch,
+    no per-row Python). probe_cells[0] is exactly with_ivf_centroid's
+    centroid_id (argmin == first of a stable argsort, ties first-index in
+    both), so one UDF pass yields both the home cell and the probe set."""
+    C = centroids.astype(np.float64)
+    cn = (C ** 2).sum(axis=1)
+    npb = min(int(n_probe), len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _p(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, np.float64) for v in e])
+        d = -2.0 * (mat @ C.T) + cn[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :npb]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return emb.withColumn(out_col, _p(F.col(emb_col)))
+
+
+def ivf_hot_cells(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    cell_cap: int = 100_000,
+) -> DataFrame:
+    """No-silent-skew report (the lsh_capped_buckets convention applied to
+    the IVF layout): every centroid cell whose population exceeds cell_cap.
+    knn_embedding_self_join does NOT truncate cells (the join is an
+    equi-join on cell, so AQE's skew-join split handles a hot cell by
+    splitting its join task); this report tells the operator of a 100-TB
+    corpus which cells need a larger n_centroids (rule of thumb:
+    n_centroids ~ corpus/target_cell_size, e.g. sqrt(N) FAISS-style)."""
+    return (
+        with_ivf_centroid(emb, centroids, emb_col)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > cell_cap)
+    )
+
+
+def knn_embedding_self_join(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rerank_factor: int = 4,
+    centroids: np.ndarray | None = None,
+    params: dict | None = None,
+) -> DataFrame:
+    """k nearest OTHER vectors by cosine for EVERY vector — the
+    SemDeDup / semantic-clustering workload (every doc's semantic
+    neighborhood in one job) -> (query_id, rank, <id_col>, cos_sim) with
+    EXACT cosine scores, rank 1..k per query (ties cos desc, id asc).
+
+    Pure composition over the two round-7 scale structures, the way
+    knn.py's knn_self_join composes over the cell-ring engine:
+      - IVF cells give the blocking: every vector is a query probing its
+        n_probe nearest cells; candidates = members of probed cells. The
+        candidate join is an equi-join on cell id — at 10^12 vectors with
+        the corpus written partitioned by centroid_id this is a co-located
+        (partition-pruned) join, and candidate volume is
+        N * n_probe * avg_cell_size, LINEAR in N when n_centroids scales
+        with the corpus (never all-pairs).
+      - SQ8 codes make the in-cell scan cheap: the approximate phase scores
+        candidates on UNIT-NORMALIZED decoded int8 codes (norms precomputed
+        once per vector, so per-pair work is ONE zip_with dot product —
+        1/4 the at-rest bytes, no norm recomputation per pair), keeps the
+        top R = rerank_factor*k per query, and phase 2 reranks those R with
+        exact float cosine. Like ann_topk_sq8, quantization only has to
+        preserve ORDER into the top-R cut, not scores.
+
+    GUARANTEED-k contract (same as every kNN/ANN entry point here): a query
+    whose probed cells hold fewer than k others escalates to an exact scan
+    against the full corpus — detection is distributed (an anti-join off the
+    shortlist, never an O(N)-row collect; corpus-as-queries means per-query
+    counts must not round-trip the driver), and only ONE scalar take(1)
+    decides whether the escalation stage runs at all. Results for escalated
+    queries are exact by construction.
+
+    Self matches are excluded by key (query_id != id), not by rank — two
+    distinct vectors can be bit-identical (cos 1.0), and those must count
+    among the k others (the knn_self_join rationale, knn.py:307).
+
+    At small N every query escalates (cells are tiny) — correctness never
+    depends on escalation being rare. Pass pre-trained `centroids`/`params`
+    to pin the index across calls (and to make results layout-independent:
+    ivf_train_centroids samples in partition order)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(emb, emb_col, n_centroids)
+    if params is None:
+        params = sq8_train(emb, emb_col)
+    r = max(int(rerank_factor) * k, k)
+
+    dec = sq8_decode_expr(F.col("_code"), params)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(dec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    # unit-normalized decoded code: zero-norm vectors map to the zero vector
+    # (dot -> 0.0) instead of NaN — NaN sorts ABOVE every real under a desc
+    # ordering in Spark, which would rank degenerate vectors first
+    unit = F.when(
+        nrm > 0, F.transform(dec, lambda x: x / nrm)
+    ).otherwise(F.transform(dec, lambda x: F.lit(0.0)))
+    base = (
+        with_ivf_probes(
+            with_sq8(emb, params, emb_col, "_code"), centroids, n_probe, emb_col
+        )
+        .withColumn("_cell", F.element_at("probe_cells", 1))
+        .withColumn("_unit", unit)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(emb_col).alias("_emb"),
+            "_unit",
+            "_cell",
+            "probe_cells",
+        )
+        # materialized ONCE (UDF probes + HOF decode), consumed three times
+        # (query side, corpus side, exact-rerank embedding lookups); eager so
+        # it runs now, not at the caller's action (round-6 unpersist audit)
+        .localCheckpoint(eager=True)
+    )
+
+    qs = base.select(
+        F.col("_id").alias("query_id"),
+        F.col("_unit").alias("_qu"),
+        F.explode("probe_cells").alias("_cell"),
+    )
+    ds = base.select(
+        F.col("_id").alias("_did"), F.col("_unit").alias("_du"), "_cell"
+    )
+    # d-side has exactly ONE cell (its centroid), q-side explodes n_probe —
+    # a (q, d) pair joins at most once, so no dedup exchange is needed
+    approx_dot = F.aggregate(
+        F.zip_with(F.col("_qu"), F.col("_du"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("_approx"), F.asc("_did")
+    )
+    shortlist = (
+        qs.join(ds, "_cell")
+        .where(F.col("query_id") != F.col("_did"))
+        .withColumn("_approx", approx_dot)
+        .withColumn("_rn", F.row_number().over(w_approx))
+        .where(F.col("_rn") <= r)
+        .select("query_id", "_did")
+        .localCheckpoint(eager=True)
+    )
+
+    # deficiency stays DISTRIBUTED: a query is short iff its shortlist holds
+    # < k rows (R >= k, so the window never hid qualifying candidates) or it
+    # is absent entirely (alone in all its probed cells)
+    ok_q = (
+        shortlist.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= k)
+        .select("query_id")
+    )
+    deficient = base.select(F.col("_id").alias("query_id"), F.col("_emb").alias("_qe")).join(
+        ok_q, "query_id", "left_anti"
+    )
+
+    exact_cos = _cos_expr(F.col("_qe"), F.col("_de"))
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("_did")
+    )
+
+    def _topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("cos_sim", exact_cos)
+            .withColumn("rank", F.row_number().over(w_exact))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", F.col("_did").alias(id_col), "cos_sim")
+        )
+
+    e_q = base.select(F.col("_id").alias("query_id"), F.col("_emb").alias("_qe"))
+    e_d = base.select(F.col("_id").alias("_did"), F.col("_emb").alias("_de"))
+    resolved = _topk(
+        shortlist.join(ok_q, "query_id", "left_semi").join(e_q, "query_id").join(e_d, "_did")
+    )
+
+    if deficient.take(1):  # ONE scalar job decides the escalation stage
+        # deficiency at scale = sparse cells = few queries: broadcast them
+        # against the corpus (the ann_topk_ivf_batch escalation shape); at
+        # tiny N "few" may be all of them, and tiny x tiny is still cheap
+        esc = _topk(
+            e_d.crossJoin(F.broadcast(deficient)).where(
+                F.col("query_id") != F.col("_did")
+            )
+        )
+        resolved = resolved.unionByName(esc)
+    return resolved
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
