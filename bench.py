@@ -766,6 +766,48 @@ def main() -> None:
                 "bytes_frac": 0.25,
                 "note": "full int8-code scan + exact rerank; compression, not sublinearity",
             }
+            # round 8 (VERDICT r7 #4): the library now carries its own
+            # calibration — record what ann_params_for_recall picks at 0.9
+            # on this corpus, so the attestation shows the config a caller
+            # who ASKS for 0.9 recall actually gets (on isotropic data:
+            # an expensive/exact config, honestly priced, instead of a
+            # silent 0.12-recall default)
+            from tiledspark.vector import ann_params_for_recall
+
+            picked = ann_params_for_recall(
+                spark, emb, target_recall=0.9, k=10,
+                emb_col="emb", n_queries=10,
+            )
+            out["params_helper"] = {
+                k_: picked[k_]
+                for k_ in ("method", "params", "recall", "scanned_frac", "target_recall")
+            }
+            out["params_helper"]["n_trials"] = len(picked["trials"])
+            # round 8: SemDeDup-shape self-join recall on the organic corpus
+            # (every vector's k nearest others, defaults) vs the numpy
+            # all-pairs ground truth already in `mat`
+            from tiledspark.vector import knn_embedding_self_join
+
+            sj = knn_embedding_self_join(
+                spark, emb, k=k, emb_col="emb"
+            ).toPandas()
+            cs_all = (mat @ mat.T) / np.outer(norms, norms)
+            np.fill_diagonal(cs_all, -np.inf)
+            sj_recs = []
+            for i, vid in enumerate(ids):
+                want = {
+                    int(ids[j]) for j in np.argsort(-cs_all[i], kind="stable")[:k]
+                }
+                have = set(
+                    int(v) for v in sj[sj["query_id"] == int(vid)]["vec_id"]
+                )
+                sj_recs.append(len(have & want) / k)
+            out["semantic_knn"] = {
+                "params": {"n_centroids": 16, "n_probe": 4, "rerank_factor": 4},
+                "recall": round(float(np.mean(sj_recs)), 4),
+                "rows": int(len(sj)),
+                "note": "knn_embedding_self_join defaults, all organic vectors as queries",
+            }
             return out
         except Exception as e:  # noqa: BLE001 — attestation must not sink the bench
             sys.stderr.write(f"ann recall attestation failed: {e}\n")

@@ -765,6 +765,223 @@ def embedding_near_dup_pairs(
     )
 
 
+# --- recall-targeted parameter selection (round 8, VERDICT r7 #3) ------------
+#
+# The ANN defaults are SCALE parameters (16-bit buckets size candidate sets
+# for 10^9+ corpora); on a small isotropic corpus they yield ~0.12 recall
+# with no signal to the caller (BENCH_r07 ann_recall.lsh). This helper makes
+# the API carry its own calibration: sample queries, measure recall@k vs the
+# exact answer at a ladder of configs (cheapest first), return the cheapest
+# config clearing the target. The ladder runs through the REAL batch APIs,
+# so the measured recall is the recall a production call will get.
+
+
+def _exact_topk_batch(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Brute-force exact top-k per query, self excluded by key — ONE
+    corpus-scale job against the broadcast query table (never a driver-side
+    toPandas of the corpus: the ground truth must be computable at any
+    corpus size the sampled queries are drawn from)."""
+    cand = (
+        emb.select(id_col, emb_col)
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(int(q), [float(x) for x in v]) for q, v in queries],
+                    "query_id long, _qv array<double>",
+                )
+            )
+        )
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, emb_col)
+    )
+    return _score_and_rank(spark, cand, queries, k, id_col, emb_col)
+
+
+def _recall_of(result_pdf, gt: dict[int, set], k: int) -> float:
+    recs = []
+    for qid, want in gt.items():
+        got = set(
+            int(v)
+            for v in result_pdf[result_pdf["query_id"] == qid]
+            .sort_values("cos_sim", ascending=False)["_rid"]
+            .head(k)
+        )
+        recs.append(len(got & want) / max(len(want), 1))
+    return float(np.mean(recs)) if recs else 0.0
+
+
+def ann_params_for_recall(
+    spark: SparkSession,
+    emb: DataFrame,
+    target_recall: float = 0.9,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_queries: int = 20,
+    methods: tuple[str, ...] = ("lsh", "ivf"),
+    n_centroids: int = 16,
+) -> dict:
+    """Measure-then-pick ANN calibration: returns the cheapest config whose
+    MEASURED recall@k (vs exact cosine, self excluded) clears target_recall
+    on queries sampled from the corpus itself.
+
+    - Sampling is deterministic (xxhash64 order + limit = TakeOrdered, a
+      distributed map-side top-N — no rand(), no driver-side corpus scan).
+    - Ground truth is ONE exact batch job (broadcast queries x corpus).
+    - Ladders run cheapest-first per method through the real batch APIs and
+      stop at the first clearing config; across methods the clearing config
+      with the smallest measured candidate fraction wins. scanned_frac here
+      is candidate rows / (n_queries * corpus) measured on the actual
+      candidate sets, not a formula.
+    - If NOTHING sublinear clears the target (isotropic data has no
+      structure to exploit — the round-7 attestation caveat), the result is
+      the exact IVF probe-all config flagged method='exact', recall 1.0 by
+      construction, so the caller always gets a config that meets the ask.
+
+    Cost: O(len(ladder)) batch jobs over the corpus — a calibration call,
+    run once per corpus/index build, not per query."""
+    qrows = (
+        emb.select(id_col, emb_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_queries)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("ann_params_for_recall: empty corpus")
+    queries = [
+        (int(r[id_col]), [float(x) for x in r[emb_col]]) for r in qrows
+    ]
+    corpus_n = emb.count()
+    gt_pdf = (
+        _exact_topk_batch(spark, emb, queries, k, id_col, emb_col)
+        .withColumnRenamed(id_col, "_rid")
+        .toPandas()
+    )
+    gt = {
+        int(q): set(
+            int(v) for v in gt_pdf[gt_pdf["query_id"] == q]["_rid"]
+        )
+        for q, _ in queries
+    }
+
+    def _frac(cand_rows: int) -> float:
+        return round(cand_rows / max(n_queries * (corpus_n - 1), 1), 4)
+
+    trials: list[dict] = []
+
+    def _try(method: str, params: dict) -> dict:
+        if method == "lsh":
+            res = ann_topk_lsh_batch(
+                spark, emb, queries, k=k + 1, id_col=id_col,
+                emb_col=emb_col, **params,
+            )
+            nt, nb, lvl = params["n_tables"], params["n_bits"], params["multiprobe"]
+            dim = len(queries[0][1])
+            b = with_lsh_buckets(emb, emb_col, dim, nt, nb).withColumn(
+                "bucket", F.explode("buckets")
+            )
+            planes = _planes(dim, nt, nb)
+            qmat = np.array([np.asarray(v, np.float64) for _, v in queries])
+            qb = _np_buckets(qmat, planes)
+            rows = []
+            for (qid, _), codes in zip(queries, qb):
+                probes = {int(c) for c in codes}
+                if lvl >= 1:
+                    probes |= {int(c) ^ (1 << i) for c in codes for i in range(nb)}
+                if lvl >= 2:
+                    probes |= {
+                        int(c) ^ (1 << i) ^ (1 << j)
+                        for c in codes
+                        for i in range(nb)
+                        for j in range(i + 1, nb)
+                    }
+                rows.extend((qid, p) for p in sorted(probes))
+            ncand = (
+                b.join(
+                    F.broadcast(
+                        spark.createDataFrame(rows, "query_id long, bucket long")
+                    ),
+                    "bucket",
+                )
+                .where(F.col("query_id") != F.col(id_col))
+                .dropDuplicates(["query_id", id_col])
+                .count()
+            )
+        else:
+            cents = params["centroids"]
+            res = ann_topk_ivf_batch(
+                spark, emb, queries, k=k + 1, id_col=id_col, emb_col=emb_col,
+                n_probe=params["n_probe"], centroids=cents,
+            )
+            qmat = np.array([np.asarray(v, np.float64) for _, v in queries])
+            d2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = d2.argsort(axis=1)[:, : min(params["n_probe"], len(cents))]
+            probe_df = spark.createDataFrame(
+                [(qid, int(c)) for (qid, _), cs in zip(queries, order) for c in cs],
+                "query_id long, centroid_id int",
+            )
+            ncand = (
+                with_ivf_centroid(emb, cents, emb_col)
+                .join(F.broadcast(probe_df), "centroid_id")
+                .where(F.col("query_id") != F.col(id_col))
+                .count()
+            )
+        pdf = res.withColumnRenamed(id_col, "_rid").toPandas()
+        pdf = pdf[pdf["query_id"] != pdf["_rid"]]
+        rec = round(_recall_of(pdf, gt, k), 4)
+        public = {k_: v for k_, v in params.items() if k_ != "centroids"}
+        t = {
+            "method": method,
+            "params": public,
+            "recall": rec,
+            "scanned_frac": _frac(ncand),
+        }
+        trials.append(t)
+        return t
+
+    cleared: list[dict] = []
+    if "lsh" in methods:
+        for nt, nb, lvl in ((8, 16, 1), (8, 16, 2), (16, 8, 1), (16, 8, 2)):
+            t = _try("lsh", {"n_tables": nt, "n_bits": nb, "multiprobe": lvl})
+            if t["recall"] >= target_recall:
+                cleared.append(t)
+                break
+    if "ivf" in methods:
+        cents = ivf_train_centroids(emb, emb_col, n_centroids)
+        for n_probe in (2, 4, 8, 12):
+            if n_probe >= len(cents):
+                break
+            t = _try("ivf", {"n_probe": n_probe, "centroids": cents})
+            if t["recall"] >= target_recall:
+                cleared.append(t)
+                break
+    base = {
+        "target_recall": target_recall,
+        "k": k,
+        "n_queries": len(queries),
+        "corpus_n": int(corpus_n),
+        "trials": trials,
+    }
+    if cleared:
+        best = min(cleared, key=lambda t: (t["scanned_frac"], t["method"]))
+        return {**best, **base}
+    # nothing sublinear clears: exact by construction (probe every list)
+    return {
+        "method": "exact",
+        "params": {"n_probe": n_centroids, "note": "IVF probe-all == exact scan"},
+        "recall": 1.0,
+        "scanned_frac": 1.0,
+        **base,
+    }
+
+
 # --- SQ8 scalar quantization (round 7): compressed at-rest embeddings -------
 #
 # At 10^12 documents the embedding column dominates storage and scan IO:
