@@ -16,6 +16,19 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
 from tiledspark.textops import PII_PATTERNS as _PII
 
 
+def _surprisal_col(d):
+    """(doc_id, mean_surprisal) for the text_stats row — op 88 driven
+    through the real library path (train on the corpus itself, score every
+    doc), rounded to 4dp for the cross-engine hash. NULL for docs with no
+    tokens (matches the oracle's scalar-subquery NULL)."""
+    from tiledspark.textops import train_unigram_logprobs, with_unigram_surprisal
+
+    ref = train_unigram_logprobs(d)
+    return with_unigram_surprisal(
+        d.select("doc_id", "text"), ref, id_col="doc_id"
+    ).select("doc_id", F.round("mean_surprisal", 4).alias("mean_surprisal"))
+
+
 def _winnow_oracle_ctes() -> str:
     """DuckDB re-derivation of the winnowing fingerprint surface (round 6,
     VERDICT r5 #6): per-char codepoints via unicode(), each k-gram's
@@ -98,6 +111,25 @@ def _winnow_oracle_ctes() -> str:
              * max(struct_pack(c := c, l := LENGTH(bg), bg := bg)).l AS DOUBLE)
           / any_value(tot) AS top_bigram_frac
       FROM rep_bg_counts GROUP BY doc_id
+    ),
+    surp_toks AS (
+      SELECT doc_id, t AS token FROM (
+        SELECT doc_id, UNNEST(regexp_split_to_array(text, '[ \n]')) AS t
+        FROM documents WHERE text IS NOT NULL)
+      WHERE t <> ''
+    ),
+    surp_counts AS (SELECT token, COUNT(*) AS n FROM surp_toks GROUP BY token),
+    surp_total AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM surp_counts),
+    surp_vocab AS (
+      SELECT token,
+             log2(CAST(n AS DOUBLE)) - log2(CAST((SELECT tot FROM surp_total) AS DOUBLE)) AS logp
+      FROM surp_counts ORDER BY n DESC, token ASC LIMIT 65536
+    ),
+    surp AS (
+      SELECT st.doc_id,
+             -AVG(COALESCE(v.logp, (SELECT MIN(logp) FROM surp_vocab))) AS ms
+      FROM surp_toks st LEFT JOIN surp_vocab v USING (token)
+      GROUP BY st.doc_id
     )
     SELECT doc_id,
            LEN(string_split(text, ' ')) AS n_tokens,
@@ -129,7 +161,9 @@ def _winnow_oracle_ctes() -> str:
            COALESCE((SELECT r.dup_line_char_frac FROM rep_line_frac r
                      WHERE r.doc_id = documents.doc_id), 0.0) AS dup_line_char_frac,
            COALESCE((SELECT t.top_bigram_frac FROM rep_top t
-                     WHERE t.doc_id = documents.doc_id), 0.0) AS top_bigram_frac
+                     WHERE t.doc_id = documents.doc_id), 0.0) AS top_bigram_frac,
+           ROUND((SELECT s.ms FROM surp s WHERE s.doc_id = documents.doc_id), 4)
+               AS mean_surprisal
     FROM documents
     """,
 )
@@ -198,6 +232,21 @@ def text_stats(spark, sf_dir):
         repetition_stats(d.select("doc_id", "text")).select(
             "doc_id", "dup_line_char_frac", "top_bigram_frac"
         ),
+        "doc_id",
+    ).join(
+        # round 8 (op 88 oracled — VERDICT r7 #5): the CCNet-shape unigram
+        # surprisal joins the driver surface. The DuckDB side re-derives
+        # the FULL path: token counts, total, top-N vocab (n desc, token
+        # asc — deterministic in both engines; the sf vocab sits far below
+        # the 65,536 cap so the LIMIT boundary never bites), logp =
+        # log2(n) - log2(total), per-doc mean with OOV floor (unused when
+        # profile == corpus: no token is out-of-vocab). ROUND(., 4): the
+        # r7 verification map feared summation-order flakiness, but the
+        # oracled q1-style rows have shipped ROUND(AVG(double), 6) green
+        # since round 2, and surprisal values (~5-16 bits) carry float
+        # noise ~1e-10 — four decimals is 6 orders of margin. The pytest
+        # python mirror stays as the exact check.
+        _surprisal_col(d),
         "doc_id",
     )
 
