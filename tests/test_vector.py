@@ -543,3 +543,45 @@ def test_ann_params_for_recall_clustered_vs_isotropic(spark):
     cfg = lambda r: (r["method"], tuple(sorted(r["params"].items())))  # noqa: E731
     assert cfg(res_c) != cfg(res_i), (res_c, res_i)
     assert res_c["scanned_frac"] < res_i["scanned_frac"], (res_c, res_i)
+
+
+def test_semdedup_drop_ids_planted_groups(spark):
+    """Planted near-dup groups: of each group only the lowest id survives;
+    singletons are never dropped. Drop set must match the python oracle
+    (a doc drops iff a lower-id doc is within min_cos among its k nearest)."""
+    from tiledspark.vector import semdedup_drop_ids
+
+    rng = np.random.default_rng(41)
+    dim = 32
+    rows = []
+    vid = 0
+    # 6 groups of 3 near-identical vectors + 20 singletons
+    for g in range(6):
+        center = rng.standard_normal(dim)
+        for _ in range(3):
+            v = center + rng.standard_normal(dim) * 0.01
+            rows.append((vid, v.astype(np.float32).tolist()))
+            vid += 1
+    for _ in range(20):
+        rows.append((vid, rng.standard_normal(dim).astype(np.float32).tolist()))
+        vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    emb = spark.createDataFrame(pdf)
+
+    got = {
+        int(r["vec_id"])
+        for r in semdedup_drop_ids(
+            spark, emb, min_cos=0.95, k=4, n_centroids=8, n_probe=8,
+            rerank_factor=20,
+        ).collect()
+    }
+    oracle = _np_self_knn(pdf, 4)
+    want = {
+        qid
+        for qid, nbrs in oracle.items()
+        if any(v < qid and c >= 0.95 for v, c in nbrs)
+    }
+    assert got == want
+    # every group drops exactly its two higher-id members
+    assert {1, 2, 4, 5, 7, 8, 10, 11, 13, 14, 16, 17} <= got
+    assert not ({0, 3, 6, 9, 12, 15} & got)
