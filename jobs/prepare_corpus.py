@@ -36,6 +36,10 @@ operators):
    embedding and the 1-byte/dim `code` column plus the trained quantizer
    params in the stats line (production readers keep only `code` at rest —
    4x smaller than float32).
+6b. SEMANTIC dedup (optional, --semdedup-min-cos TAU) — SemDeDup-shape
+   pruning over the self-join kNN on the hashed-TF embeddings: drop docs
+   with a lower-id neighbor at cosine >= TAU. Catches the duplicate mode
+   char-shingle MinHash can't see (same tokens, different order).
 7. Write surviving docs and print ONE JSON stats line.
 
 The stage chain mirrors the published web-corpus recipes (CCNet / Gopher /
@@ -83,6 +87,13 @@ def main() -> None:
     ap.add_argument("--cc-impl", choices=("propagate", "star"), default="propagate")
     ap.add_argument("--emb-dim", type=int, default=64)
     ap.add_argument("--no-embed", action="store_true")
+    ap.add_argument("--semdedup-min-cos", type=float, default=None,
+                    help="semantic dedup (SemDeDup shape) over the hashed-TF "
+                         "embeddings: drop every doc with a LOWER-id doc at "
+                         "cosine >= this in its k-neighborhood (catches "
+                         "same-content-different-order docs char-shingle "
+                         "MinHash misses); requires embedding")
+    ap.add_argument("--semdedup-k", type=int, default=5)
     ap.add_argument("--scrub-pii", action="store_true",
                     help="add text_scrubbed + n_pii_* columns (emails, IPv4, "
                          "intl phones redacted); the original text column is "
@@ -245,6 +256,28 @@ def main() -> None:
         sq_params = sq8_train(kept.where(F.col("embedding").isNotNull()))
         kept = with_sq8(kept, sq_params)
 
+    # 6b. optional semantic dedup (round 8): embedding-space near-dup
+    # pruning over the self-join kNN — the dedup mode token-level shingles
+    # cannot see (reordered/paraphrase-shaped duplicates have near-zero
+    # char-shingle Jaccard but cosine ~1 in TF space)
+    n_semantic_dropped = 0
+    if args.semdedup_min_cos is not None:
+        if args.no_embed:
+            raise SystemExit("--semdedup-min-cos requires embeddings (drop --no-embed)")
+        from tiledspark.vector import semdedup_drop_ids
+
+        drops = semdedup_drop_ids(
+            spark,
+            kept.where(F.col("embedding").isNotNull()).select(idc, "embedding"),
+            min_cos=args.semdedup_min_cos,
+            k=args.semdedup_k,
+            id_col=idc,
+        ).localCheckpoint()
+        n_semantic_dropped = drops.count()
+        if n_semantic_dropped:
+            kept = kept.join(drops, idc, "left_anti")
+        n_kept -= n_semantic_dropped
+
     # 6. optional PII redaction on the survivors (text_scrubbed column;
     # the original text rides through untouched — byte-identity invariant)
     pii_counts = None
@@ -273,7 +306,8 @@ def main() -> None:
                 "n_exact_dropped": n_before_dedup - n_exact,
                 "n_near_pairs": n_pairs,
                 "n_components": n_components,
-                "n_near_dropped": n_exact - n_kept,
+                "n_near_dropped": n_exact - n_kept - n_semantic_dropped,
+                "n_semantic_dropped": n_semantic_dropped,
                 "n_kept": n_kept,
                 "embedded": not args.no_embed,
                 "pii_redacted": pii_counts,

@@ -274,6 +274,9 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     texts[101] = " ".join(base)                    # exact dup of 100
     mut = list(base); mut[3] = "cat"
     texts[102] = " ".join(mut)                     # near dup of 100
+    # SEMANTIC dup of 100 (round 8): same token multiset, reversed order —
+    # char-shingle Jaccard ~0 (survives MinHash) but hashed-TF cosine = 1.0
+    texts[103] = " ".join(reversed(base))
     docs_path = str(tmp_path / "docs.parquet")
     spark.createDataFrame(
         [(k, v) for k, v in sorted(texts.items())], "doc_id long, text string"
@@ -302,6 +305,7 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
             # changing outcomes (the band test itself is library-level)
             "--min-mean-surprisal", "0.0",
             "--max-mean-surprisal", "1e9",
+            "--semdedup-min-cos", "0.95",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -311,23 +315,24 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
-    assert stats["n_docs"] == 37
+    assert stats["n_docs"] == 38
     rej = stats["quality_rejected"]
     assert rej["too_few_tokens"] == 1          # 200
     assert rej["max_token_too_long"] == 1      # 201
     assert rej["lang_rejected"] == 1           # 202
-    assert stats["n_after_quality"] == 34      # incl. the repetitive doc 300
+    assert stats["n_after_quality"] == 35      # incl. the repetitive doc 300
     assert stats["repetition_rejected"] == {"dup_line": 1, "top_bigram": 0}
     assert stats["surprisal_rejected"] == {"too_low": 0, "too_high": 0}
     assert stats["n_exact_dropped"] == 1       # 101
     assert stats["n_near_dropped"] == 1 and stats["n_components"] == 1  # 102
+    assert stats["n_semantic_dropped"] == 1    # 103, the reordered dup
     assert stats["n_kept"] == 31
     assert stats["embedded"] and len(stats["sq8_params"]["mins"]) == 32
     assert stats["pii_redacted"]["email"] == 1
 
     kept = spark.read.parquet(out_path)
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
-    assert 100 in ids and not {101, 102, 200, 201, 202, 300} & ids
+    assert 100 in ids and not {101, 102, 103, 200, 201, 202, 300} & ids
     dt = dict(kept.dtypes)
     assert dt["embedding"] == "array<double>" and dt["code"] == "array<tinyint>"
     scrub0 = kept.where("doc_id = 0").collect()[0]
