@@ -793,14 +793,13 @@ def main() -> None:
             ).toPandas()
             cs_all = (mat @ mat.T) / np.outer(norms, norms)
             np.fill_diagonal(cs_all, -np.inf)
+            by_q = sj.groupby("query_id")["vec_id"].apply(set).to_dict()
             sj_recs = []
             for i, vid in enumerate(ids):
                 want = {
                     int(ids[j]) for j in np.argsort(-cs_all[i], kind="stable")[:k]
                 }
-                have = set(
-                    int(v) for v in sj[sj["query_id"] == int(vid)]["vec_id"]
-                )
+                have = {int(v) for v in by_q.get(int(vid), set())}
                 sj_recs.append(len(have & want) / k)
             out["semantic_knn"] = {
                 "params": {"n_centroids": 16, "n_probe": 4, "rerank_factor": 4},
