@@ -22,6 +22,10 @@ operators):
    chars, top-bigram chars) over the gate survivors; one narrow exchange.
 1c. SURPRISAL band (optional, --min/--max-mean-surprisal) — CCNet-style
    quality band on unigram mean surprisal, self-trained on the survivors.
+1d. DECONTAMINATION (optional, --decontam-eval PATH) — GPT-3/PaLM-shape
+   benchmark decontamination: drop docs sharing >= --decontam-min-hits
+   normalized word --decontam-ngram-grams with any eval example (eval
+   grams broadcast; corpus scanned once; only hits shuffle).
 2. BOILERPLATE (optional, --boilerplate-max-df N) — corpus-level line-df
    filter (textops.drop_boilerplate_lines); similarity stages below read the
    cleaned column, the original text column is never mutated.
@@ -81,6 +85,15 @@ def main() -> None:
                          "gate survivors) is below this (boilerplate)")
     ap.add_argument("--max-mean-surprisal", type=float, default=None,
                     help="...or above this (gibberish / OOV soup)")
+    ap.add_argument("--decontam-eval", default=None,
+                    help="parquet of eval/benchmark examples: drop every doc "
+                         "sharing >= --decontam-min-hits normalized word "
+                         "n-grams with any eval example (GPT-3/PaLM-shape "
+                         "benchmark decontamination)")
+    ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument("--decontam-min-hits", type=int, default=1)
+    ap.add_argument("--decontam-eval-id-col", default="eval_id")
+    ap.add_argument("--decontam-eval-text-col", default="text")
     ap.add_argument("--boilerplate-max-df", type=int, default=None)
     ap.add_argument("--min-jaccard", type=float, default=0.5)
     ap.add_argument("--est-threshold", type=float, default=0.2)
@@ -208,10 +221,43 @@ def main() -> None:
         }
         docs = docs.where(ok_lo & ok_hi)
 
+    # 1d. optional eval-set decontamination (round 8, GPT-3/PaLM-shape):
+    # drop every doc sharing >= --decontam-min-hits normalized word
+    # n-grams with ANY eval example. Runs BEFORE the similarity stages —
+    # cheapest point to shed the docs (eval grams broadcast, corpus
+    # scanned once, only hits shuffle), and a contaminated doc must never
+    # survive as a dedup keeper.
+    n_decontam_dropped = 0
+    if args.decontam_eval is not None:
+        from tiledspark.textops import contamination_hits
+
+        eval_df = spark.read.parquet(args.decontam_eval)
+        # materialize the (tiny) flagged set, THEN anti-join: the corpus
+        # n-gram scan runs exactly once (the semdedup-stage structure)
+        flagged = (
+            contamination_hits(
+                docs,
+                eval_df,
+                id_col=idc,
+                text_col=txt,
+                eval_id_col=args.decontam_eval_id_col,
+                eval_text_col=args.decontam_eval_text_col,
+                n=args.decontam_ngram,
+            )
+            .where(F.col("n_hits") >= args.decontam_min_hits)
+            .select(idc)
+            .distinct()
+            .localCheckpoint()
+        )
+        n_decontam_dropped = flagged.count()
+        if n_decontam_dropped:
+            docs = docs.join(flagged, idc, "left_anti")
+
     n_before_dedup = (
         n_quality
         - sum((rep_rejected or {}).values())
         - sum((surprisal_rejected or {}).values())
+        - n_decontam_dropped
     )
 
     # 2. optional boilerplate stage (similarity reads the cleaned column)
@@ -308,6 +354,7 @@ def main() -> None:
                 "n_components": n_components,
                 "n_near_dropped": n_exact - n_kept - n_semantic_dropped,
                 "n_semantic_dropped": n_semantic_dropped,
+                "n_decontam_dropped": n_decontam_dropped,
                 "n_kept": n_kept,
                 "embedded": not args.no_embed,
                 "pii_redacted": pii_counts,

@@ -277,10 +277,21 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     # SEMANTIC dup of 100 (round 8): same token multiset, reversed order —
     # char-shingle Jaccard ~0 (survives MinHash) but hashed-TF cosine = 1.0
     texts[103] = " ".join(reversed(base))
+    # CONTAMINATED doc (round 8): embeds 9 consecutive tokens of an eval
+    # example (>= one 8-gram) with case noise; passes every quality screen
+    # and is no near-dup of anything — only stage 1d can catch it
+    eval_text = "what is the capital of france and when was it founded"
+    texts[400] = ("the fox is pondering " +
+                  " ".join(eval_text.split()[:9]).upper() + " w400 tail")
     docs_path = str(tmp_path / "docs.parquet")
     spark.createDataFrame(
         [(k, v) for k, v in sorted(texts.items())], "doc_id long, text string"
     ).write.parquet(docs_path)
+    eval_path = str(tmp_path / "evalset.parquet")
+    spark.createDataFrame(
+        [(0, eval_text), (1, "unrelated benchmark prompt about tides and the moon cycle")],
+        "eval_id long, text string",
+    ).write.parquet(eval_path)
 
     out_path = str(tmp_path / "prepared.parquet")
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
@@ -306,6 +317,8 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
             "--min-mean-surprisal", "0.0",
             "--max-mean-surprisal", "1e9",
             "--semdedup-min-cos", "0.95",
+            "--decontam-eval", eval_path,
+            "--decontam-ngram", "8",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -315,14 +328,15 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
-    assert stats["n_docs"] == 38
+    assert stats["n_docs"] == 39
     rej = stats["quality_rejected"]
     assert rej["too_few_tokens"] == 1          # 200
     assert rej["max_token_too_long"] == 1      # 201
     assert rej["lang_rejected"] == 1           # 202
-    assert stats["n_after_quality"] == 35      # incl. the repetitive doc 300
+    assert stats["n_after_quality"] == 36      # incl. repetitive 300 + contaminated 400
     assert stats["repetition_rejected"] == {"dup_line": 1, "top_bigram": 0}
     assert stats["surprisal_rejected"] == {"too_low": 0, "too_high": 0}
+    assert stats["n_decontam_dropped"] == 1    # 400, the planted eval leak
     assert stats["n_exact_dropped"] == 1       # 101
     assert stats["n_near_dropped"] == 1 and stats["n_components"] == 1  # 102
     assert stats["n_semantic_dropped"] == 1    # 103, the reordered dup
@@ -332,7 +346,7 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
 
     kept = spark.read.parquet(out_path)
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
-    assert 100 in ids and not {101, 102, 103, 200, 201, 202, 300} & ids
+    assert 100 in ids and not {101, 102, 103, 200, 201, 202, 300, 400} & ids
     dt = dict(kept.dtypes)
     assert dt["embedding"] == "array<double>" and dt["code"] == "array<tinyint>"
     scrub0 = kept.where("doc_id = 0").collect()[0]

@@ -1565,3 +1565,111 @@ def with_unigram_surprisal(
     return df.join(
         scored.withColumnRenamed("_sid", id_col), id_col, "left"
     )
+
+
+# --- eval-set decontamination (round 8): benchmark n-gram overlap removal ------
+#
+# A training corpus that contains an eval benchmark's text inflates every
+# downstream score. The public convention (GPT-3 appendix C / the Pile /
+# PaLM) is n-gram decontamination: flag a training doc if it shares >= some
+# number of word n-grams with any eval example (GPT-3 used 13-grams; PaLM
+# 8-grams — `n` is the knob, default 8).
+#
+# Scale shape (the asymmetry IS the design): the eval side is benchmark-
+# sized (thousands of examples — tiny by construction), the corpus side is
+# the 100-TB crawl. The eval set's distinct n-gram hashes are aggregated
+# and BROADCAST; the corpus is scanned ONCE, its exploded n-gram hashes
+# filtered map-side against the broadcast build — only actual hits (rare
+# by construction) survive into the (doc_id, eval_id) count exchange.
+# Nothing doc-sized shuffles; no corpus self-join anywhere. A 64-bit hash
+# collision can only ADD a flag (drop a clean doc) — the conservative
+# direction for decontamination; it can never hide real contamination.
+
+
+def _contam_norm_expr(text: Column) -> Column:
+    """Decontamination text normalization (both sides identically):
+    lowercase, collapse every non-alphanumeric run to one space, trim —
+    so cosmetic punctuation/case/whitespace edits can't evade the match
+    (the GPT-3 appendix-C normalization shape; latin-alnum convention)."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def _contam_gram_hashes_expr(text: Column, n: int) -> Column:
+    """Normalized text -> array<long> of DISTINCT xxhash64 word n-gram
+    hashes; docs shorter than n tokens -> empty array (a partial gram is
+    not an n-gram match — unlike shingles_expr's >=1-gram floor, which is
+    the right semantics for Jaccard but would fabricate contamination
+    here). NULL text -> empty."""
+    norm = _contam_norm_expr(text)
+    toks = F.split(norm, " ")
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+    )
+    return F.when(
+        text.isNotNull() & (norm != "") & (cnt >= n), F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def contamination_hits(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """-> (<id_col>, <eval_id_col>, n_hits): for every (training doc, eval
+    example) pair sharing at least one normalized word n-gram, the number
+    of DISTINCT shared n-grams. Exact set semantics (both sides distinct
+    their grams first): n_hits = |grams(doc) ∩ grams(eval)|, attribution
+    per eval example so a flagged doc can be audited.
+
+    The eval side is explicitly broadcast — decontamination's defining
+    asymmetry (see module comment). If an eval set ever outgrew broadcast,
+    dropping the hint degrades to a plain shuffled equi-join on the gram
+    hash with the same semantics."""
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(_contam_gram_hashes_expr(F.col(text_col), n)).alias("_g"),
+    )
+    eval_grams = (
+        eval_df.select(
+            F.col(eval_id_col),
+            F.explode(_contam_gram_hashes_expr(F.col(eval_text_col), n)).alias("_g"),
+        )
+        .dropDuplicates([eval_id_col, "_g"])
+    )
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "_g")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """-> (clean_df, report_df). Drops every training doc whose TOTAL
+    distinct shared n-grams against ANY single eval example reaches
+    min_hits (the GPT-3 rule is min_hits=1 at n=13; PaLM's is n=8).
+    report_df = the contamination_hits rows that caused drops — the audit
+    trail (which benchmark example leaked, how hard). clean_df keeps the
+    input schema untouched; the drop is a left_anti on id only."""
+    hits = contamination_hits(
+        df, eval_df, id_col, text_col, eval_id_col, eval_text_col, n
+    )
+    flagged = hits.where(F.col("n_hits") >= min_hits)
+    clean = df.join(
+        flagged.select(id_col).dropDuplicates([id_col]), id_col, "left_anti"
+    )
+    return clean, flagged
