@@ -432,3 +432,59 @@ def test_spark_submit_append_corpus(tmp_path, spark):
     sigs = spark.read.parquet(sig_out)
     assert set(sigs.columns) == {"doc_id", "band_idx", "band_hash"}
     assert {r["doc_id"] for r in sigs.select("doc_id").distinct().collect()} == kept
+
+
+def test_spark_submit_assemble_training_set(tmp_path, spark):
+    """jobs/assemble_training_set.py end-to-end: mix a source-skewed corpus
+    to 50/50 token shares, shuffle deterministically, pack into sequences —
+    the training-set assembly step downstream of prepare_corpus."""
+    zip_path = str(tmp_path / "tiledspark.zip")
+    _build_zip(zip_path)
+
+    # source A: 160 docs x ~40 BPE tokens; source B: 40 docs (4x skew)
+    rows = []
+    for i in range(200):
+        src = "A" if i < 160 else "B"
+        rows.append((i, " ".join("w%d_%d" % (i, j) for j in range(20)), src))
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(docs_path)
+
+    out_dir = str(tmp_path / "assembled")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "assemble_training_set.py"),
+            "--docs", docs_path,
+            "--out", out_dir,
+            "--target", "A=1,B=1",
+            "--max-tokens", "256",
+            "--shuffle-seed", "7",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["n_input_docs"] == 200
+    # mixture audit: B upsampled toward parity
+    assert stats["mixture"]["B"]["fraction"] > 2.0
+    assert abs(stats["mixture"]["A"]["expected_share"] - 0.5) < 1e-6
+    corpus = spark.read.parquet(out_dir + "/corpus")
+    assert corpus.count() == stats["n_sampled_rows"]
+    w = {r["source"]: r["w"] for r in corpus.groupBy("source").agg(F.sum("n_tokens").alias("w")).collect()}
+    share_a = w["A"] / (w["A"] + w["B"])
+    assert abs(share_a - 0.5) < 0.08
+    # packing output: capacity + per-part coverage of the sampled rows
+    seqs = spark.read.parquet(out_dir + "/sequences")
+    over = seqs.groupBy("seq_id").agg(F.sum("part_tokens").alias("t")).where(F.col("t") > 256).count()
+    assert over == 0
+    assert stats["packing"]["fill_rate"] > 0.8
+    assert stats["packing"]["total_tokens"] == corpus.agg(F.sum("n_tokens")).first()[0]
