@@ -868,6 +868,68 @@ def main() -> None:
             sys.stderr.write(f"minhash attrib failed: {e}\n")
             return None
 
+    def _assembly_attestation() -> dict | None:
+        """UNTIMED attestation (round 8, ops 93-95): drive the training-set
+        assembly tail — temperature-0.7 source mixing, deterministic
+        shuffle, FFD sequence packing — on the organic documents table and
+        record the mixture fidelity (max |achieved - expected| token share
+        across domains) and the packing fill rate. Runs AFTER the timed
+        suite so the headline wall stays comparable across rounds."""
+        try:
+            from tiledspark.assemble import (
+                deterministic_shuffle,
+                mix_corpora,
+                pack_sequences,
+                packing_report,
+            )
+
+            t0 = time.perf_counter()
+            docs = (
+                spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+                .select(
+                    "doc_id",
+                    "source",
+                    F.regexp_count(
+                        F.col("text"),
+                        F.lit("[a-zA-Z]+|[0-9]+|[^ \\t\\n\\ra-zA-Z0-9]+"),
+                    ).alias("n_tokens"),
+                )
+            )
+            mixed, report = mix_corpora(
+                docs, temperature=0.7, weight_col="n_tokens", seed=8
+            )
+            expected = {
+                r["domain"]: r["expected_share"] for r in report.collect()
+            }
+            shuffled = deterministic_shuffle(
+                mixed, seed=8, extra_key_cols=["copy_idx"]
+            )
+            asg = pack_sequences(shuffled, 2048, seed=8)
+            asg = asg.cache()
+            rep = packing_report(asg, 2048)
+            achieved_rows = (
+                shuffled.groupBy("source")
+                .agg(F.sum("n_tokens").alias("w"))
+                .collect()
+            )
+            tot = sum(float(r["w"]) for r in achieved_rows) or 1.0
+            max_dev = max(
+                abs(float(r["w"]) / tot - expected.get(r["source"], 0.0))
+                for r in achieved_rows
+            )
+            asg.unpersist()
+            return {
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "n_domains": len(expected),
+                "max_share_deviation": round(max_dev, 5),
+                "n_sequences": rep["n_sequences"],
+                "fill_rate": round(rep["fill_rate"], 5),
+                "total_tokens": rep["total_tokens"],
+            }
+        except Exception as e:  # noqa: BLE001 — attestation must not sink the bench
+            sys.stderr.write(f"assembly attestation failed: {e}\n")
+            return None
+
     result = {
         "metric": "docs/sec tiled+joined (headline suite wall time)",
         "value": total,
@@ -890,6 +952,7 @@ def main() -> None:
         "ngram_maxdf": None if pipeline_only else _ngram_maxdf_experiment(),
         "ann_recall": None if pipeline_only else _ann_recall_attestation(),
         "minhash_attrib": None if pipeline_only else _minhash_attrib(),
+        "assembly": None if pipeline_only else _assembly_attestation(),
     }
     if snapshot_diff_layers:
         result["snapshot_diff_layers"] = snapshot_diff_layers
