@@ -22,10 +22,13 @@ Stages (SURVEY §2 ops 93-95, tiledspark/assemble.py):
 4. PACK — FFD sequence packing at --max-tokens capacity; long docs chunked;
    hash-bucketed groups hold ~--bucket-target-tokens tokens each so packing
    memory is corpus-size-independent.
-5. WRITE — <out>/corpus (the shuffled mixture, order = file order per
-   Spark's sorted-write contract) and <out>/sequences (seq_id, doc_id,
-   part_idx, offset, part_tokens); print ONE JSON stats line with the
-   mixture audit and the packing fill rate.
+5. WRITE — <out>/corpus (the shuffled mixture; sequential file-order
+   readers recover the order, but the robust key is the manifest),
+   <out>/sequences (seq_id, doc_id, part_idx, offset, part_tokens), and
+   with --rows-per-shard <out>/manifest (id, copy_idx, global_pos,
+   shard_id — positions stamped on the shuffle lineage itself, since a
+   parquet re-read does not replay write order); print ONE JSON stats
+   line with the mixture audit and the packing fill rate.
 """
 
 from __future__ import annotations
@@ -65,6 +68,10 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--max-tokens", type=int, default=2048)
     ap.add_argument("--bucket-target-tokens", type=int, default=4_000_000)
+    ap.add_argument("--rows-per-shard", type=int, default=None,
+                    help="also write <out>/manifest: (id, copy_idx, "
+                         "global_pos, shard_id) over the shuffled order — "
+                         "fixed-size shards, all full except the last")
     args = ap.parse_args()
     if args.target and args.temperature is not None:
         ap.error("--target and --temperature are mutually exclusive")
@@ -74,6 +81,8 @@ def main() -> None:
         mix_corpora,
         pack_sequences,
         packing_report,
+        with_global_position,
+        with_shard,
     )
 
     spark = SparkSession.builder.appName("tiledspark-assemble").getOrCreate()
@@ -129,6 +138,28 @@ def main() -> None:
     # copies pack as independent items)
     kept = spark.read.parquet(corpus_out)
     stats["n_sampled_rows"] = kept.count()
+    if args.rows_per_shard:
+        # shard manifest: positions must be stamped on the SHUFFLED lineage
+        # itself — a parquet read-back does not replay write order (Spark
+        # size-packs file splits), so re-reading the corpus would misorder.
+        # The projection is thin (two ints + key): column pruning makes the
+        # repeated range sort cheap; readers join the manifest on
+        # (id, copy_idx) rather than trusting any file order.
+        manifest = with_shard(
+            with_global_position(
+                deterministic_shuffle(
+                    mixed.select(idc, "copy_idx"),
+                    seed=args.shuffle_seed,
+                    id_col=idc,
+                    num_partitions=args.shuffle_partitions,
+                    extra_key_cols=["copy_idx"],
+                )
+            ),
+            args.rows_per_shard,
+        )
+        manifest.write.mode("overwrite").parquet(args.out.rstrip("/") + "/manifest")
+        stats["n_shards"] = manifest.agg(F.countDistinct("shard_id")).first()[0]
+
     packable = kept.select(
         (F.col(idc) * F.lit(1_000_000) + F.col("copy_idx")).alias("doc_id"),
         F.col(ntc).cast("long").alias("n_tokens"),

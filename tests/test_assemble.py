@@ -22,6 +22,8 @@ from tiledspark.assemble import (
     mixture_fractions,
     pack_sequences,
     packing_report,
+    with_global_position,
+    with_shard,
 )
 
 
@@ -240,3 +242,29 @@ def test_pack_deterministic_across_layout(spark):
     a = {(r.doc_id, r.part_idx): (r.seq_id, r.offset) for r in pack_sequences(df1.repartition(2), 1024, bucket_target_tokens=50_000).collect()}
     b = {(r.doc_id, r.part_idx): (r.seq_id, r.offset) for r in pack_sequences(df1.repartition(11), 1024, bucket_target_tokens=50_000).collect()}
     assert a == b
+
+
+# --- op 94 companion: global position / shard manifest ------------------------
+
+
+def test_global_position_follows_shuffle_order(spark):
+    df = _ids_df(spark, 500, partitions=3).withColumn("payload", F.col("doc_id") + 7)
+    shuffled = deterministic_shuffle(df, seed=4, num_partitions=5)
+    # cache: position stamping runs two actions over the same lineage
+    shuffled = shuffled.cache()
+    expect_order = [r.doc_id for r in shuffled.collect()]
+    pos_df = with_global_position(shuffled)
+    rows = pos_df.collect()
+    shuffled.unpersist()
+    assert sorted(r.global_pos for r in rows) == list(range(500))
+    by_pos = [r.doc_id for r in sorted(rows, key=lambda r: r.global_pos)]
+    assert by_pos == expect_order  # positions follow the training order
+    assert set(pos_df.columns) == {"doc_id", "payload", "global_pos"}
+
+
+def test_with_shard_sizes(spark):
+    df = _ids_df(spark, 250, partitions=4).cache()
+    pos = with_global_position(deterministic_shuffle(df, seed=1, num_partitions=3).cache())
+    sharded = with_shard(pos, rows_per_shard=64)
+    sizes = {r.shard_id: r["count"] for r in sharded.groupBy("shard_id").count().collect()}
+    assert sizes == {0: 64, 1: 64, 2: 64, 3: 58}

@@ -464,6 +464,7 @@ def test_spark_submit_assemble_training_set(tmp_path, spark):
             "--target", "A=1,B=1",
             "--max-tokens", "256",
             "--shuffle-seed", "7",
+            "--rows-per-shard", "64",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -488,3 +489,14 @@ def test_spark_submit_assemble_training_set(tmp_path, spark):
     assert over == 0
     assert stats["packing"]["fill_rate"] > 0.8
     assert stats["packing"]["total_tokens"] == corpus.agg(F.sum("n_tokens")).first()[0]
+    # shard manifest: dense positions, fixed shard sizes (last may be short)
+    manifest = spark.read.parquet(out_dir + "/manifest")
+    n = manifest.count()
+    assert n == stats["n_sampled_rows"]
+    assert manifest.agg(F.min("global_pos")).first()[0] == 0
+    assert manifest.agg(F.max("global_pos")).first()[0] == n - 1
+    assert manifest.select("global_pos").distinct().count() == n
+    sizes = {r["shard_id"]: r["count"] for r in manifest.groupBy("shard_id").count().collect()}
+    assert stats["n_shards"] == len(sizes)
+    full = [s for s in sizes.values() if s == 64]
+    assert len(full) >= len(sizes) - 1

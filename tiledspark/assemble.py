@@ -229,8 +229,12 @@ def deterministic_shuffle(
     per epoch. ``extra_key_cols`` joins e.g. ``copy_idx`` into the key so
     upsampled repeats land at independent positions.
 
-    Exactly one exchange (rangepartitioning) + in-partition sort; written
-    output preserves the order per Spark's sorted-write contract.
+    Exactly one exchange (rangepartitioning) + in-partition sort. Written
+    parquet files land in order (partition i's file precedes partition
+    i+1's and rows are sorted within), so a SEQUENTIAL file-order reader
+    recovers the global order — but a Spark re-read does NOT (file splits
+    are size-packed); pair with ``with_global_position`` for an explicit,
+    layout-proof order key.
     """
     extras = [F.col(c) for c in (extra_key_cols or [])]
     key = F.xxhash64(F.col(id_col), F.lit(int(seed)), *extras)
@@ -322,6 +326,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     bucket_target_tokens: int = 4_000_000,
     seed: int = 0,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Pack tokenized docs into fixed-capacity training sequences (op 95).
 
@@ -340,8 +345,12 @@ def pack_sequences(
     embarrassingly and never materializes global state.
     """
     parts = chunk_parts(df, max_tokens, n_tokens_col, id_col)
-    total = parts.agg(F.sum("part_tokens")).first()[0] or 0
-    n_buckets = max(1, math.ceil(total / float(bucket_target_tokens)))
+    if n_buckets is None:
+        # one narrow sizing agg; costs an extra scan of the (two-column)
+        # chunk projection — pass n_buckets explicitly when the caller
+        # already knows the corpus scale to keep packing single-scan
+        total = parts.agg(F.sum("part_tokens")).first()[0] or 0
+        n_buckets = max(1, math.ceil(total / float(bucket_target_tokens)))
     parts = parts.withColumn(
         "_bucket", F.pmod(F.xxhash64("doc_id", F.lit(int(seed))), F.lit(n_buckets))
     )
@@ -350,6 +359,61 @@ def pack_sequences(
         return _ffd_pack(pdf, int(max_tokens), int(key[0]))
 
     return parts.groupBy("_bucket").applyInPandas(pack, schema=_PACK_SCHEMA)
+
+
+def with_global_position(df: DataFrame, pos_col: str = "global_pos") -> DataFrame:
+    """Add a dense 0-based global row index that follows the CURRENT
+    partition-major row order — the scalable zipWithIndex (op 94 companion:
+    after ``deterministic_shuffle``, position = rank in the training order,
+    which is what a shard manifest keys on).
+
+    Shape: one tiny counting job (counts per partition, collected —
+    O(num_partitions) rows), offsets cumsum'd driver-side and broadcast,
+    then ONE order-preserving ``mapInPandas`` pass that stamps positions
+    with a running counter. No global window, no single-partition sort, no
+    O(N) driver traffic — the two things the naive
+    ``row_number() OVER (ORDER BY ...)`` plan would do.
+
+    The input should be deterministic and cheap to recompute (e.g. freshly
+    read from parquet, or cached): the count job and the stamping pass are
+    two actions over the same lineage.
+    """
+    tagged = df.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["n"] for r in tagged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = StructType(tagged.schema.fields[:-1] + [StructField(pos_col, LongType())])
+    cols = [f.name for f in tagged.schema.fields[:-1]]
+
+    def stamp(batches):
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf[cols].copy()
+            out[pos_col] = np.arange(pos, pos + len(pdf), dtype=np.int64)
+            pos += len(pdf)
+            yield out
+
+    return tagged.mapInPandas(stamp, schema=out_schema)
+
+
+def with_shard(
+    df: DataFrame,
+    rows_per_shard: int,
+    pos_col: str = "global_pos",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Deterministic shard assignment over a positioned frame: shard =
+    global_pos // rows_per_shard. All shards full except the last — the
+    fixed-size-shard manifest a training reader consumes."""
+    return df.withColumn(
+        shard_col, (F.col(pos_col) / F.lit(int(rows_per_shard))).cast("long")
+    )
 
 
 def packing_report(assignments: DataFrame, max_tokens: int) -> dict:
