@@ -26,6 +26,12 @@ operators):
    benchmark decontamination: drop docs sharing >= --decontam-min-hits
    normalized word --decontam-ngram-grams with any eval example (eval
    grams broadcast; corpus scanned once; only hits shuffle).
+1e. QUALITY CLASSIFIER (optional, --quality-pos/--quality-neg parquets) —
+   the GPT-3 appendix-A step: logistic regression on hashed-TF features
+   trained on seed-set-sized curated pos/neg examples (driver-side numpy,
+   guarded), corpus scored in one JVM-native scan, kept by the Pareto
+   soft threshold (score > 1 - X, X ~ Pareto(alpha) from a deterministic
+   hash draw) or a hard --quality-min-score floor; survivors semi-joined.
 2. BOILERPLATE (optional, --boilerplate-max-df N) — corpus-level line-df
    filter (textops.drop_boilerplate_lines); similarity stages below read the
    cleaned column, the original text column is never mutated.
@@ -94,6 +100,20 @@ def main() -> None:
     ap.add_argument("--decontam-min-hits", type=int, default=1)
     ap.add_argument("--decontam-eval-id-col", default="eval_id")
     ap.add_argument("--decontam-eval-text-col", default="text")
+    ap.add_argument("--quality-pos", default=None,
+                    help="parquet of positive seed docs (doc_id, text): "
+                         "train a hashed-TF logistic quality classifier "
+                         "(GPT-3 appendix-A shape) and filter the corpus "
+                         "by its score; requires --quality-neg")
+    ap.add_argument("--quality-neg", default=None)
+    ap.add_argument("--quality-dim", type=int, default=256)
+    ap.add_argument("--quality-pareto-alpha", type=float, default=9.0,
+                    help="soft threshold: keep iff score > 1 - X, "
+                         "X ~ Pareto(alpha) from a deterministic hash draw")
+    ap.add_argument("--quality-min-score", type=float, default=None,
+                    help="hard floor on the classifier score instead of "
+                         "the Pareto soft threshold")
+    ap.add_argument("--quality-seed", type=int, default=0)
     ap.add_argument("--boilerplate-max-df", type=int, default=None)
     ap.add_argument("--min-jaccard", type=float, default=0.5)
     ap.add_argument("--est-threshold", type=float, default=0.2)
@@ -253,11 +273,52 @@ def main() -> None:
         if n_decontam_dropped:
             docs = docs.join(flagged, idc, "left_anti")
 
+    # 1e. optional seed-set quality classifier (round 8, op 96 — the GPT-3
+    # appendix-A step): train on small curated pos/neg seed parquets
+    # (driver-side numpy on collected hashed-TF features — seed-set-sized
+    # by contract), score the corpus in ONE JVM-native scan, keep by the
+    # Pareto soft threshold (or a hard floor), semi-join surviving ids.
+    n_quality_clf_dropped = 0
+    quality_train_acc = None
+    if args.quality_pos is not None and args.quality_neg is not None:
+        from tiledspark.quality import (
+            pareto_keep_expr,
+            score_quality,
+            train_quality_classifier,
+        )
+
+        model = train_quality_classifier(
+            spark.read.parquet(args.quality_pos),
+            spark.read.parquet(args.quality_neg),
+            dim=args.quality_dim,
+        )
+        quality_train_acc = model["train_acc"]
+        scores = score_quality(docs, model, text_col=txt, id_col=idc)
+        if args.quality_min_score is not None:
+            kept_scores = scores.where(
+                F.col("quality_score") >= args.quality_min_score
+            )
+        else:
+            kept_scores = scores.where(
+                pareto_keep_expr(
+                    F.col("quality_score"),
+                    F.col(idc),
+                    alpha=args.quality_pareto_alpha,
+                    seed=args.quality_seed,
+                )
+            )
+        keep_ids = kept_scores.select(idc).localCheckpoint()
+        n_scored = scores.count()
+        n_quality_clf_dropped = n_scored - keep_ids.count()
+        if n_quality_clf_dropped:
+            docs = docs.join(keep_ids, idc, "left_semi")
+
     n_before_dedup = (
         n_quality
         - sum((rep_rejected or {}).values())
         - sum((surprisal_rejected or {}).values())
         - n_decontam_dropped
+        - n_quality_clf_dropped
     )
 
     # 2. optional boilerplate stage (similarity reads the cleaned column)
@@ -355,6 +416,8 @@ def main() -> None:
                 "n_near_dropped": n_exact - n_kept - n_semantic_dropped,
                 "n_semantic_dropped": n_semantic_dropped,
                 "n_decontam_dropped": n_decontam_dropped,
+                "n_quality_clf_dropped": n_quality_clf_dropped,
+                "quality_train_acc": quality_train_acc,
                 "n_kept": n_kept,
                 "embedded": not args.no_embed,
                 "pii_redacted": pii_counts,

@@ -500,3 +500,70 @@ def test_spark_submit_assemble_training_set(tmp_path, spark):
     assert stats["n_shards"] == len(sizes)
     full = [s for s in sizes.values() if s == 64]
     assert len(full) >= len(sizes) - 1
+
+
+def test_spark_submit_prepare_corpus_quality_classifier(tmp_path, spark):
+    """Stage 1e end-to-end: a seed-trained hashed-TF logistic classifier
+    drops junk-vocabulary docs that pass every other screen (deterministic
+    hard floor, no Pareto randomness in the test)."""
+    import numpy as np
+
+    zip_path = str(tmp_path / "tiledspark.zip")
+    _build_zip(zip_path)
+    rng = np.random.default_rng(0)
+    good_vocab = ["good%d" % j for j in range(30)]
+    junk_vocab = ["zzz%d" % j for j in range(30)]
+
+    def doc(vocab, uniq):
+        words = ["the", "and", "of", "is", "in"] + list(rng.choice(vocab, 12)) + [uniq]
+        rng.shuffle(words)
+        return " ".join(words)
+
+    corpus = [(i, doc(good_vocab, "u%d" % i)) for i in range(20)]
+    corpus += [(500 + i, doc(junk_vocab, "j%d" % i)) for i in range(3)]
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(corpus, "doc_id long, text string").write.parquet(docs_path)
+    pos_path = str(tmp_path / "seed_pos.parquet")
+    neg_path = str(tmp_path / "seed_neg.parquet")
+    spark.createDataFrame(
+        [(1000 + i, doc(good_vocab, "p%d" % i)) for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(pos_path)
+    spark.createDataFrame(
+        [(2000 + i, doc(junk_vocab, "n%d" % i)) for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(neg_path)
+
+    out_path = str(tmp_path / "prepared.parquet")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "prepare_corpus.py"),
+            "--docs", docs_path,
+            "--out", out_path,
+            "--min-tokens", "5",
+            "--min-jaccard", "0.95",
+            "--no-embed",
+            "--quality-pos", pos_path,
+            "--quality-neg", neg_path,
+            "--quality-dim", "256",
+            "--quality-min-score", "0.5",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["n_quality_clf_dropped"] == 3
+    assert stats["quality_train_acc"] > 0.95
+    kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert not kept & {500, 501, 502}
+    assert set(range(20)) <= kept
