@@ -133,9 +133,8 @@ def main() -> None:
     corpus_out = args.out.rstrip("/") + "/corpus"
     shuffled.write.mode("overwrite").parquet(corpus_out)
 
-    # pack over the WRITTEN corpus (one distinct row per (doc, copy) — the
-    # packer keys on a synthetic long id folding copy_idx in, so upsampled
-    # copies pack as independent items)
+    # pack over the WRITTEN corpus; copy_col makes each upsampled (doc,
+    # copy) pair an independent packing item with its real 64-bit id intact
     kept = spark.read.parquet(corpus_out)
     stats["n_sampled_rows"] = kept.count()
     if args.rows_per_shard:
@@ -145,30 +144,28 @@ def main() -> None:
         # The projection is thin (two ints + key): column pruning makes the
         # repeated range sort cheap; readers join the manifest on
         # (id, copy_idx) rather than trusting any file order.
-        manifest = with_shard(
-            with_global_position(
-                deterministic_shuffle(
-                    mixed.select(idc, "copy_idx"),
-                    seed=args.shuffle_seed,
-                    id_col=idc,
-                    num_partitions=args.shuffle_partitions,
-                    extra_key_cols=["copy_idx"],
-                )
-            ),
-            args.rows_per_shard,
-        )
+        # localCheckpoint pins the partitioning: with_global_position runs
+        # two actions over its input, and an unmaterialized
+        # repartitionByRange may re-sample different range boundaries per
+        # action (RangePartitioner seeds from the execution's rdd id),
+        # which would corrupt the stamped positions
+        thin = deterministic_shuffle(
+            mixed.select(idc, "copy_idx"),
+            seed=args.shuffle_seed,
+            id_col=idc,
+            num_partitions=args.shuffle_partitions,
+            extra_key_cols=["copy_idx"],
+        ).localCheckpoint()
+        manifest = with_shard(with_global_position(thin), args.rows_per_shard)
         manifest.write.mode("overwrite").parquet(args.out.rstrip("/") + "/manifest")
         stats["n_shards"] = manifest.agg(F.countDistinct("shard_id")).first()[0]
 
-    packable = kept.select(
-        (F.col(idc) * F.lit(1_000_000) + F.col("copy_idx")).alias("doc_id"),
-        F.col(ntc).cast("long").alias("n_tokens"),
-    )
     asg = pack_sequences(
-        packable,
+        kept.select(F.col(idc).alias("doc_id"), "copy_idx", F.col(ntc).cast("long").alias("n_tokens")),
         args.max_tokens,
         bucket_target_tokens=args.bucket_target_tokens,
         seed=args.shuffle_seed,
+        copy_col="copy_idx",
     )
     seq_out = args.out.rstrip("/") + "/sequences"
     asg.write.mode("overwrite").parquet(seq_out)

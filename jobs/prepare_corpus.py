@@ -280,7 +280,9 @@ def main() -> None:
     # Pareto soft threshold (or a hard floor), semi-join surviving ids.
     n_quality_clf_dropped = 0
     quality_train_acc = None
-    if args.quality_pos is not None and args.quality_neg is not None:
+    if (args.quality_pos is None) != (args.quality_neg is None):
+        ap.error("--quality-pos and --quality-neg must be given together")
+    if args.quality_pos is not None:
         from tiledspark.quality import (
             pareto_keep_expr,
             score_quality,
@@ -307,9 +309,18 @@ def main() -> None:
                     seed=args.quality_seed,
                 )
             )
+        # ONE scoring scan: only the (tiny) keeper-id frame materializes.
+        # The semi-join also sheds docs the embedding path produced no
+        # score row for (token-less text) — count the stage's drop as
+        # before-minus-after so those are attributed here, not to dedup.
         keep_ids = kept_scores.select(idc).localCheckpoint()
-        n_scored = scores.count()
-        n_quality_clf_dropped = n_scored - keep_ids.count()
+        n_at_stage = (
+            n_quality
+            - sum((rep_rejected or {}).values())
+            - sum((surprisal_rejected or {}).values())
+            - n_decontam_dropped
+        )
+        n_quality_clf_dropped = n_at_stage - keep_ids.count()
         if n_quality_clf_dropped:
             docs = docs.join(keep_ids, idc, "left_semi")
 

@@ -268,3 +268,40 @@ def test_with_shard_sizes(spark):
     sharded = with_shard(pos, rows_per_shard=64)
     sizes = {r.shard_id: r["count"] for r in sharded.groupBy("shard_id").count().collect()}
     assert sizes == {0: 64, 1: 64, 2: 64, 3: 58}
+
+
+def test_mix_corpora_null_domain_rows_excluded(spark):
+    df = (
+        spark.range(0, 300)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") < 100, "A")
+            .when(F.col("doc_id") < 200, "B")
+            .otherwise(F.lit(None).cast("string")),
+        )
+    )
+    sampled, report = mix_corpora(df, targets={"A": 1, "B": 1}, seed=3)
+    rep = {r.domain: r for r in report.collect()}
+    assert rep["__null__"].fraction == 0.0
+    assert rep["__null__"].weight == 100.0
+    assert sampled.where(F.col("source").isNull()).count() == 0
+    # targeted domains unaffected by the null mass
+    assert rep["A"].expected_share == pytest.approx(0.5)
+
+
+def test_pack_sequences_copy_col_full_range_ids(spark):
+    # ids near the int64 edge: the packer must key on (doc_id, copy_idx)
+    # without any arithmetic folding
+    big = 2**62
+    df = spark.createDataFrame(
+        [(big + i, c, 700) for i in range(5) for c in range(3)],
+        "doc_id long, copy_idx int, n_tokens long",
+    )
+    rows = pack_sequences(
+        df, 2048, bucket_target_tokens=10**9, copy_col="copy_idx"
+    ).collect()
+    keys = [(r.doc_id, r.copy_idx, r.part_idx) for r in rows]
+    assert len(keys) == 15 and len(set(keys)) == 15
+    assert {r.doc_id for r in rows} == {big + i for i in range(5)}
+    assert {r.copy_idx for r in rows} == {0, 1, 2}

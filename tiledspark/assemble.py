@@ -182,7 +182,10 @@ def mix_corpora(
         .agg(F.sum(w).alias("weight"))
         .collect()
     )
-    shares = {r["domain"]: float(r["weight"]) for r in rows}
+    # NULL-domain rows can't be targeted (and can't key a literal map):
+    # they sample at fraction 0 and surface in the report as "__null__"
+    null_weight = sum(float(r["weight"]) for r in rows if r["domain"] is None)
+    shares = {r["domain"]: float(r["weight"]) for r in rows if r["domain"] is not None}
     fracs = mixture_fractions(shares, targets=targets, temperature=temperature, scale=scale)
 
     frac_map = F.create_map(
@@ -191,20 +194,23 @@ def mix_corpora(
     frac_col = F.coalesce(frac_map[F.col(domain_col)], F.lit(0.0))
     sampled = deterministic_sample(df, frac_col, seed=seed, id_col=id_col)
 
-    tot = sum(shares.values()) or 1.0
+    tot = sum(shares.values()) + null_weight or 1.0
     exp_tot = sum(shares[d] * fracs[d] for d in shares) or 1.0
+    report_rows = [
+        (
+            d,
+            float(shares[d]),
+            float(shares[d] / tot),
+            float(fracs[d]),
+            float(shares[d] * fracs[d] / exp_tot),
+        )
+        for d in sorted(shares)
+    ]
+    if null_weight:
+        report_rows.append(("__null__", null_weight, null_weight / tot, 0.0, 0.0))
     spark = df.sparkSession
     report = spark.createDataFrame(
-        [
-            (
-                d,
-                float(shares[d]),
-                float(shares[d] / tot),
-                float(fracs[d]),
-                float(shares[d] * fracs[d] / exp_tot),
-            )
-            for d in sorted(shares)
-        ],
+        report_rows,
         "domain string, weight double, share double, fraction double, expected_share double",
     )
     return sampled, report
@@ -253,6 +259,7 @@ _PACK_SCHEMA = StructType(
     [
         StructField("seq_id", StringType()),
         StructField("doc_id", LongType()),
+        StructField("copy_idx", IntegerType()),
         StructField("part_idx", IntegerType()),
         StructField("offset", LongType()),
         StructField("part_tokens", LongType()),
@@ -260,23 +267,35 @@ _PACK_SCHEMA = StructType(
 )
 
 
-def chunk_parts(df: DataFrame, max_tokens: int, n_tokens_col: str, id_col: str) -> DataFrame:
+def chunk_parts(
+    df: DataFrame,
+    max_tokens: int,
+    n_tokens_col: str,
+    id_col: str,
+    copy_col: str | None = None,
+) -> DataFrame:
     """Split docs longer than ``max_tokens`` into ceil(n/max) parts (every
     part except possibly the last is exactly max_tokens — the standard
     long-document chunking rule). Pure projection + explode; emits
-    (id, part_idx, part_tokens)."""
+    (doc_id, copy_idx, part_idx, part_tokens). ``copy_col`` names an
+    upsampling copy index (see ``deterministic_sample``) carried through as
+    ``copy_idx`` so repeats pack as independent items — arbitrary 64-bit
+    doc ids never get folded into a synthetic key."""
     n = F.col(n_tokens_col).cast("long")
     mt = F.lit(int(max_tokens)).cast("long")
     n_parts = F.ceil(n / mt).cast("int")
+    copy = F.col(copy_col).cast("int") if copy_col else F.lit(0)
     return (
         df.where(n > 0)
         .select(
             F.col(id_col).alias("doc_id"),
+            copy.alias("copy_idx"),
             F.explode(F.sequence(F.lit(0), n_parts - 1)).alias("part_idx"),
             n.alias("_n"),
         )
         .select(
             "doc_id",
+            "copy_idx",
             "part_idx",
             F.least(mt, F.col("_n") - F.col("part_idx").cast("long") * mt).alias(
                 "part_tokens"
@@ -291,7 +310,8 @@ def _ffd_pack(pdf: pd.DataFrame, max_tokens: int, bucket: int) -> pd.DataFrame:
     the first bin with room (buckets hold ~thousands of parts, so the
     O(parts × bins) scan is microseconds; bins list stays small)."""
     order = pdf.sort_values(
-        ["part_tokens", "doc_id", "part_idx"], ascending=[False, True, True]
+        ["part_tokens", "doc_id", "copy_idx", "part_idx"],
+        ascending=[False, True, True, True],
     )
     free: list[int] = []  # free tokens per bin
     assign = np.empty(len(order), dtype=np.int64)
@@ -312,6 +332,7 @@ def _ffd_pack(pdf: pd.DataFrame, max_tokens: int, bucket: int) -> pd.DataFrame:
         {
             "seq_id": [f"{bucket}-{b}" for b in assign],
             "doc_id": order["doc_id"].to_numpy(),
+            "copy_idx": order["copy_idx"].to_numpy().astype(np.int32),
             "part_idx": order["part_idx"].to_numpy().astype(np.int32),
             "offset": offset,
             "part_tokens": order["part_tokens"].to_numpy(),
@@ -327,6 +348,7 @@ def pack_sequences(
     bucket_target_tokens: int = 4_000_000,
     seed: int = 0,
     n_buckets: int | None = None,
+    copy_col: str | None = None,
 ) -> DataFrame:
     """Pack tokenized docs into fixed-capacity training sequences (op 95).
 
@@ -344,7 +366,7 @@ def pack_sequences(
     ``packing_report``), the payoff is that packing parallelizes
     embarrassingly and never materializes global state.
     """
-    parts = chunk_parts(df, max_tokens, n_tokens_col, id_col)
+    parts = chunk_parts(df, max_tokens, n_tokens_col, id_col, copy_col=copy_col)
     if n_buckets is None:
         # one narrow sizing agg; costs an extra scan of the (two-column)
         # chunk projection — pass n_buckets explicitly when the caller
@@ -352,7 +374,8 @@ def pack_sequences(
         total = parts.agg(F.sum("part_tokens")).first()[0] or 0
         n_buckets = max(1, math.ceil(total / float(bucket_target_tokens)))
     parts = parts.withColumn(
-        "_bucket", F.pmod(F.xxhash64("doc_id", F.lit(int(seed))), F.lit(n_buckets))
+        "_bucket",
+        F.pmod(F.xxhash64("doc_id", "copy_idx", F.lit(int(seed))), F.lit(n_buckets)),
     )
 
     def pack(key, pdf):
