@@ -904,7 +904,7 @@ def main() -> None:
             shuffled = deterministic_shuffle(
                 mixed, seed=8, extra_key_cols=["copy_idx"]
             )
-            asg = pack_sequences(shuffled, 2048, seed=8)
+            asg = pack_sequences(shuffled, 2048, seed=8, copy_col="copy_idx")
             asg = asg.cache()
             rep = packing_report(asg, 2048)
             achieved_rows = (
