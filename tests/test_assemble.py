@@ -305,3 +305,14 @@ def test_pack_sequences_copy_col_full_range_ids(spark):
     assert len(keys) == 15 and len(set(keys)) == 15
     assert {r.doc_id for r in rows} == {big + i for i in range(5)}
     assert {r.copy_idx for r in rows} == {0, 1, 2}
+
+
+def test_global_position_on_fresh_parquet_read(spark, tmp_path):
+    # the documented cheap deterministic lineage: a parquet read — positions
+    # must come out dense and unique even across the two internal actions
+    p = str(tmp_path / "thin.parquet")
+    deterministic_shuffle(_ids_df(spark, 400, partitions=3), seed=2, num_partitions=4).write.parquet(p)
+    pos = with_global_position(spark.read.parquet(p)).collect()
+    got = sorted(r.global_pos for r in pos)
+    assert got == list(range(400))
+    assert len({r.doc_id for r in pos}) == 400
