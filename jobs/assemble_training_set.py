@@ -52,6 +52,11 @@ def main() -> None:
     ap.add_argument("--n-tokens-col", default=None,
                     help="existing token-count column; default: compute the "
                          "BPE-ish pre-tokenizer count from --text-col")
+    ap.add_argument("--bpe-model", default=None,
+                    help="JSON file holding tiledspark.bpe.train_bpe output: "
+                         "token counts come from TRUE trained-BPE encoding "
+                         "of --text-col instead of the pre-tokenizer regexp "
+                         "(ignored when --n-tokens-col is given)")
     ap.add_argument("--target", default=None,
                     help="comma list domain=weight of target mixture shares "
                          "(relative); e.g. web=5,wiki=2,code=1")
@@ -92,7 +97,16 @@ def main() -> None:
     ntc = args.n_tokens_col
     if ntc is None:
         ntc = "n_tokens"
-        docs = docs.withColumn(ntc, F.regexp_count(F.col(txt), F.lit(_BPE_RE)))
+        if args.bpe_model:
+            from tiledspark.bpe import bpe_encode_udf
+
+            with open(args.bpe_model) as fh:
+                bpe_model = json.load(fh)
+            docs = docs.withColumn(
+                ntc, bpe_encode_udf(bpe_model, count_only=True)(F.col(txt)).cast("long")
+            )
+        else:
+            docs = docs.withColumn(ntc, F.regexp_count(F.col(txt), F.lit(_BPE_RE)))
     n_input = docs.count()
 
     stats: dict = {"n_input_docs": n_input}

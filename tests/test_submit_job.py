@@ -447,7 +447,15 @@ def test_spark_submit_assemble_training_set(tmp_path, spark):
         src = "A" if i < 160 else "B"
         rows.append((i, " ".join("w%d_%d" % (i, j) for j in range(20)), src))
     docs_path = str(tmp_path / "docs.parquet")
-    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(docs_path)
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    docs_df.write.parquet(docs_path)
+    # token accounting through a TRAINED BPE model (op 97 composed into the
+    # assembly job) instead of the regexp fallback
+    from tiledspark.bpe import train_bpe
+
+    bpe_path = str(tmp_path / "bpe.json")
+    with open(bpe_path, "w") as fh:
+        json.dump(train_bpe(docs_df, n_merges=100), fh)
 
     out_dir = str(tmp_path / "assembled")
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
@@ -465,6 +473,7 @@ def test_spark_submit_assemble_training_set(tmp_path, spark):
             "--max-tokens", "256",
             "--shuffle-seed", "7",
             "--rows-per-shard", "64",
+            "--bpe-model", bpe_path,
         ],
         cwd=str(tmp_path),
         env=env,
