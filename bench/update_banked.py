@@ -31,7 +31,9 @@ def main() -> None:
                 "wall_sec": d["value"],
                 "docs_per_sec": d.get("docs_per_sec"),
                 "idle": d.get("host_idle_check", {}).get("idle"),
-                "busy_cores_at_start": d.get("host_idle_check", {}).get("busy_cores"),
+                "busy_cores_at_start": d.get("host_idle_check", {}).get(
+                    "busy_cores_at_start"
+                ),
                 "cpu_calibration_sec": d.get("cpu_calibration_sec"),
                 "sf": d.get("sf"),
                 "queries": d.get("queries"),

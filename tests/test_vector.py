@@ -585,3 +585,27 @@ def test_semdedup_drop_ids_planted_groups(spark):
     # every group drops exactly its two higher-id members
     assert {1, 2, 4, 5, 7, 8, 10, 11, 13, 14, 16, 17} <= got
     assert not ({0, 3, 6, 9, 12, 15} & got)
+
+
+def test_knn_embedding_self_join_zero_norm_vector(spark):
+    """A zero (non-null) embedding — hashed-TF emits one when signed bucket
+    counts cancel — must neither abort the job (ANSI DIVIDE_BY_ZERO) nor
+    rank first via NaN: guarded cosine pins it to -1.0, so it sorts last
+    and never beats a real neighbor."""
+    from tiledspark.vector import knn_embedding_self_join
+
+    pdf = _clustered_embeddings(n_clusters=3, per_cluster=6, dim=8, seed=9)
+    rows = [(int(r.vec_id), list(r.embedding)) for r in pdf.itertuples()]
+    rows.append((999, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = knn_embedding_self_join(
+        spark, emb, k=3, n_centroids=4, n_probe=4, rerank_factor=20
+    ).toPandas()
+    # every real query gets k real neighbors; the zero vector never appears
+    # as a neighbor of anything (cos -1.0 loses to every real cosine)
+    real = got[got["query_id"] != 999]
+    assert not (real["vec_id"] == 999).any()
+    assert real.groupby("query_id").size().eq(3).all()
+    # the zero vector still gets its guaranteed k rows (all at cos -1.0)
+    z = got[got["query_id"] == 999]
+    assert len(z) == 3 and (z["cos_sim"] == -1.0).all()

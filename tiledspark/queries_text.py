@@ -23,7 +23,11 @@ def _surprisal_col(d):
     tokens (matches the oracle's scalar-subquery NULL)."""
     from tiledspark.textops import train_unigram_logprobs, with_unigram_surprisal
 
-    ref = train_unigram_logprobs(d)
+    # localCheckpoint: the reference lineage is otherwise recomputed three
+    # times (the trainer's eager token-total collect, the OOV-floor collect
+    # inside with_unigram_surprisal, and the broadcast join at execution) —
+    # the prepare_corpus caller already uses this form
+    ref = train_unigram_logprobs(d).localCheckpoint()
     return with_unigram_surprisal(
         d.select("doc_id", "text"), ref, id_col="doc_id"
     ).select("doc_id", F.round("mean_surprisal", 4).alias("mean_surprisal"))

@@ -115,7 +115,14 @@ def _cos_expr(a, b):
             )
         )
 
-    return dot / (_n(a) * _n(b))
+    # zero-norm guard: hashed-TF can emit an all-zero (non-null) vector when
+    # a doc's signed bucket counts cancel; an unguarded divide is a
+    # DIVIDE_BY_ZERO job abort under Spark 4 ANSI (and a NaN that sorts
+    # ABOVE every real cosine under desc with ANSI off). cos := -1.0 ranks
+    # degenerate vectors last everywhere, which is the semantics every
+    # caller (top-k desc, >= tau thresholds) wants.
+    denom = _n(a) * _n(b)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(-1.0))
 
 
 def embedding_capped_buckets(
@@ -629,24 +636,38 @@ def knn_embedding_self_join(
         params = sq8_train(emb, emb_col)
     r = max(int(rerank_factor) * k, k)
 
-    dec = sq8_decode_expr(F.col("_code"), params)
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(dec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )
-    )
+    # decode and norm are STAGED as columns before the per-element divide:
+    # referencing the norm aggregate (which nests the O(dim) decode) inside
+    # the transform lambda would re-evaluate it per element — no CSE across
+    # HOF arms — turning the one corpus-wide materialization pass into
+    # O(dim^2) work per row. Staged, it is decode once + norm once + dim
+    # column-lookup divides.
     # unit-normalized decoded code: zero-norm vectors map to the zero vector
     # (dot -> 0.0) instead of NaN — NaN sorts ABOVE every real under a desc
     # ordering in Spark, which would rank degenerate vectors first
-    unit = F.when(
-        nrm > 0, F.transform(dec, lambda x: x / nrm)
-    ).otherwise(F.transform(dec, lambda x: F.lit(0.0)))
     base = (
         with_ivf_probes(
             with_sq8(emb, params, emb_col, "_code"), centroids, n_probe, emb_col
         )
         .withColumn("_cell", F.element_at("probe_cells", 1))
-        .withColumn("_unit", unit)
+        .withColumn("_dec", sq8_decode_expr(F.col("_code"), params))
+        .withColumn(
+            "_nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("_dec"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+        .withColumn(
+            "_unit",
+            F.when(
+                F.col("_nrm") > 0,
+                F.transform(F.col("_dec"), lambda x: x / F.col("_nrm")),
+            ).otherwise(F.transform(F.col("_dec"), lambda x: F.lit(0.0))),
+        )
         .select(
             F.col(id_col).alias("_id"),
             F.col(emb_col).alias("_emb"),
