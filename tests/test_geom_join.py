@@ -239,14 +239,15 @@ def test_oracle_points_clear_of_polygon_edges():
     assert min_d > 1e-9, f"a corpus point sits {min_d} from a ring edge"
 
 
-def test_spatial_join_candidates_checkpointed(spark, joined_inputs):
-    """Round-6 structural guard: the spatial join's interior/boundary
-    branches must both read the checkpointed candidate relation (LogicalRDD)
-    rather than re-expanding the candidate DAG per branch. NOTE: this pins
-    the plan SHAPE only — checkpoint eagerness (the round-6 fix: materialize
-    while the zone-cell cache is warm) is not observable from the plan; its
-    record is the A/B in commit 7920bc1 and BENCH/TIMELINE_r6.md."""
+def test_spatial_join_single_pass_plan(spark, joined_inputs):
+    """Round-9 structural guard (replaces the round-6 checkpoint guard): the
+    refine stage is a single pass — the candidate lineage (doc-side ancestor
+    explode + cell join) appears EXACTLY ONCE in the plan, with no
+    interior/boundary Union re-expanding it and no candidate checkpoint
+    materialization. The doc-side explode is the only Generate node on the
+    broadcast path, and the interior-or-PIP filter rides the same plan."""
     docs, zones = joined_inputs
     out = spatial_join(spark, docs, zones)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:800]
+    assert "Union" not in plan, plan[:800]
+    assert plan.count("Generate explode") == 1, plan[:800]

@@ -172,46 +172,38 @@ def spatial_join(
         ).withColumn("salt", F.explode("_salts")).drop("_salts", "_hot")
         cand = dc_s.join(zc_s, ["cell", "salt"]).drop("salt")
 
-    # materialize the candidate set ONCE: interior and boundary branch from
-    # it, and without the cut each branch re-runs the whole doc-side explode
-    # + join (measured 2× the stage cost at 4M pages). localCheckpoint writes
-    # O(candidates) — cheaper than a second pass over O(docs × zoom-levels).
-    # narrow before the cut: the join key and salt already did their job, so
-    # the checkpoint write carries only what the two branches read
+    # narrow: the join key and salt already did their job
     cand = cand.select(doc_key, "lat", "lon", "zone_id", "is_boundary")
-    # EAGER (round-6 fix): with eager=False the checkpoint materialized at
-    # the caller's first action — AFTER zc.unpersist() below had already
-    # dropped the zone-cell cache, so the candidate build re-ran the whole
-    # polygon-cover kernel uncached. Eager materialization happens here,
-    # while the cache is still warm, and makes the late unpersist safe.
-    cand = cand.localCheckpoint(eager=True)
 
-    interior = cand.where(~F.col("is_boundary")).select(doc_key, "lat", "lon", "zone_id")
-
-    boundary = cand.where(F.col("is_boundary")).select(doc_key, "lat", "lon", "zone_id")
-    # PIP refinement is a NATIVE Column filter (round 7): boundary
-    # candidates equi-join the zone geometry on zone_id and evaluate the
-    # crossing-number test as HOF expressions (geom.point_in_polygon_expr —
-    # bit-identical arithmetic to the numpy kernel; the byte-for-byte
-    # spatial-join golden and the oracled row pin the equivalence). This
-    # replaced the round-1..6 grouped applyInPandas paths: no Python
-    # workers, no Arrow hop, no (zone_id, salt) grouped exchange, and no
-    # zones.count() gate job — AQE broadcasts a small zone side on its own,
-    # and at an arbitrarily large zone count the same plan degrades to a
-    # plain shuffle equi-join with zero driver geometry materialization.
+    # SINGLE-PASS refine (round 9, guide §2.4): rounds 6-8 eagerly
+    # localCheckpoint'ed the candidate set and branched it into an
+    # interior/boundary union — a full O(candidates) materialization (write
+    # + read) plus one extra job barrier, needed only because TWO branches
+    # read the frame. Joining the zone geometry onto ALL candidates and
+    # filtering `interior OR pip` references the candidate lineage exactly
+    # once, so the checkpoint (and its barrier) is gone: one doc-scale pass,
+    # explode → cell join → geometry join → filter. The PIP crossing-number
+    # test (geom.point_in_polygon_expr — bit-identical arithmetic to the
+    # numpy kernel; the byte-for-byte golden and the oracled row pin the
+    # equivalence) sits behind a short-circuiting OR, so interior rows never
+    # evaluate it. AQE broadcasts a small zone-geometry side on its own; at
+    # an arbitrarily large zone count the same plan degrades to a plain
+    # shuffle equi-join with zero driver geometry materialization.
     zgeo = zones.select("zone_id", "ring", "holes")
-    refined = (
-        boundary.join(zgeo, "zone_id")
+    out = (
+        cand.join(zgeo, "zone_id")
         .where(
-            point_in_polygon_expr(
+            (~F.col("is_boundary"))
+            | point_in_polygon_expr(
                 F.col("lat"), F.col("lon"), F.col("ring"), F.col("holes")
             )
         )
-        .select(doc_key, "lat", "lon", "zone_id")
+        .withColumn(
+            "tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE)
+        )
     )
-
-    out = interior.unionByName(refined).withColumn(
-        "tile_id", tiles.tile_id_expr(F.col("lon"), F.col("lat"), tiles.Z_BASE)
-    )
-    zc.unpersist()
+    # no unpersist: the zone-cell cache is read by the caller's action (the
+    # single pass above); blocks are freed with the RDD when the returned
+    # plan is GC'd (the tree.py checkpoint-lifetime pattern). Callers that
+    # loop spatial_join in one session should drop previous results.
     return out.select("zone_id", doc_key, "lat", "lon", "tile_id")

@@ -174,14 +174,26 @@ def knn_cell_ring(
 
     resolved_parts: list[DataFrame] = []
     straggler_parts: list[DataFrame] = []
-    # eager localCheckpoint: cuts lineage AND materializes, so take(1) and
-    # the next round's joins read the materialized frontier, not the DAG
-    # (q0 itself is checkpointed so the density pre-pass runs exactly once)
-    q0 = q0.localCheckpoint(eager=True)
+    # Round 9 (guide §2.6 / TIMELINE_r8's job-count term): the driver loop
+    # now runs ONE Spark job per round instead of three. Lazy localCheckpoint
+    # + a count/agg action materializes the checkpoint blocks inside the same
+    # job that returns the driver its loop-control scalar (eager-materialize
+    # + take(1) was two jobs), and the round's topk checkpoint is lazy too —
+    # it materializes inside the survivors job, whose lineage passes through
+    # it exactly once. Results are identical: only job boundaries moved.
+    q0 = q0.localCheckpoint(eager=False)
+    n_unresolved = q0.count()  # materializes q0's blocks in the same job
     unresolved = q0
+    n_stragglers = 0
+    # x wraps around the antimeridian: within one query's block the packed
+    # cells are distinct unless the block width 2r+1 exceeds the ring size n
+    # (r never exceeds max_radius), so the dedup exchange is only planned
+    # when a wrap collision is possible at all (guide §2.4: remove shuffles
+    # outright)
+    need_wrap_dedup = (2 * max_radius + 1) > n
     max_rounds = max(1, math.ceil(math.log(max_radius, growth)) + 1)
     for _ in range(max_rounds):
-        if not unresolved.take(1):
+        if not n_unresolved:
             break
         if _round_plans is not None:
             _round_plans.append(
@@ -204,10 +216,12 @@ def knn_cell_ring(
             )
             .where((F.col("qy") + F.col("dy") >= 0) & (F.col("qy") + F.col("dy") < n))
             .drop("dy")
-            .distinct()
         )
-        # the round's ONLY doc-scale job: everything below derives from this
-        # materialized frame (O(|unresolved| * k) rows)
+        if need_wrap_dedup:
+            cand_cells = cand_cells.distinct()
+        # the round's ONLY doc-scale pass; lazy checkpoint — materialized by
+        # the survivors job below (single lineage reference), then re-read
+        # from blocks by the resolved_parts union at the caller's action
         topk = (
             cand_cells.join(doc_cells, "cell")
             .withColumn(
@@ -221,7 +235,7 @@ def knn_cell_ring(
                 ),
             )
             .where(F.col("rank") <= k)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         stats = topk.groupBy("query_id", "q_lat", "q_lon", "qx", "qy", "r").agg(
             F.count(F.lit(1)).alias("n_found"), F.max("dist_m").alias("kth_dist")
@@ -261,20 +275,31 @@ def knn_cell_ring(
         )
         # survivors that already explored max_radius exit to brute force;
         # the rest grow their radius and continue (checkpointed so the next
-        # round's frontier plan stays a flat scan — test_knn asserts it)
+        # round's frontier plan stays a flat scan — test_knn asserts it).
+        # ONE job: the agg materializes the survivors checkpoint (and the
+        # topk checkpoint upstream of it) and hands the driver both loop
+        # scalars — the continuing-frontier size and the straggler count.
         survivors = unresolved.join(done_ids, "query_id", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
+        counts = survivors.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum((F.col("r") < max_radius).cast("int")).alias("n_cont"),
+        ).collect()[0]
+        n_unresolved = int(counts["n_cont"] or 0)
+        n_stragglers += int(counts["n_all"]) - n_unresolved
         straggler_parts.append(survivors.where(F.col("r") >= max_radius))
         unresolved = survivors.where(F.col("r") < max_radius).withColumn(
             "r", F.least(F.col("r") * growth, F.lit(max_radius)).cast("int")
         )
     # anything the loop never resolved: max-radius exits + loop-exhausted
+    n_stragglers += n_unresolved
     straggler_parts.append(unresolved)
     unresolved = _union_all(straggler_parts)
 
-    # stragglers: brute force (queries side is tiny by now)
-    if unresolved.take(1):
+    # stragglers: brute force (queries side is tiny by now; the gate is a
+    # driver-tracked scalar — no take(1) job)
+    if n_stragglers:
         brute = (
             unresolved.crossJoin(doc_cells.drop("cell"))
             .withColumn(

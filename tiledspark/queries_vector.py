@@ -53,10 +53,17 @@ _DOT_SQL = (
     """,
 )
 def vector_topk_bruteforce(spark, sf_dir):
+    from tiledspark.vector import _widen
+
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # widen (round 9, guide §4/§2.5): the embeddings table arrives in ONE
+    # parquet split, so the interpreted-HOF dot products otherwise run on a
+    # single core (measured 0.94 s for a 2k-row table on local[32]); the
+    # repartition is a 2k-row shuffle, and the result is partitioning-
+    # independent (total order: cos desc, vec_id asc)
     scored = (
-        e.where(F.col("vec_id") != 0)
+        _widen(e.where(F.col("vec_id") != 0))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",

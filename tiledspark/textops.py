@@ -321,6 +321,17 @@ def _verify_and_score(
     sig = with_minhash(
         df.join(cand_ids, [id_col], "left_semi"), text_col, k, num_perm
     ).select(F.col(id_col).alias("_id"), "minhash", "_shingles")
+    # Round 9 (guide §2.4): `sig` feeds BOTH sides of the pair join below.
+    # Unmaterialized, Catalyst plans the whole subtree once per reference —
+    # the r9 plan audit showed FOUR full corpus scans (id_a/id_b × each
+    # union leg of the caller's input) re-running the semi join AND the
+    # 16-perm minhash HOF in the verify stage alone (plans/r09/
+    # dedup_minhash_lsh_before.txt ops 3-13/14-25/29-39/40-51). Checkpoint
+    # it once: O(candidate docs) rows — bounded by 2x the (bucket-capped)
+    # pair count — so the materialization is small by construction, and the
+    # verify stage scans the corpus exactly once. Eager: the two join
+    # references would otherwise race to materialize it inside one job.
+    sig = sig.localCheckpoint(eager=True)
     pairs = (
         pairs.join(
             sig.select(
@@ -968,11 +979,15 @@ def drop_boilerplate_lines(
     'auto' counts the boiler frame (a job over the already-checkpointed
     postings agg — O(distinct boiler lines)) and picks.
     """
+    # lazy checkpoint (round 9): the 'auto' gate's count() materializes the
+    # checkpoint blocks in the same job (eager + count was two jobs); with
+    # an explicit strategy the single downstream reference materializes it
+    # inside the caller's action — either way the postings exchange runs once
     boiler = (
         line_document_frequency(df, id_col, text_col)
         .where(F.col("df") > F.lit(max_df))
         .select("line_fp")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if strategy == "auto":
         strategy = "array" if boiler.count() <= array_limit else "join"

@@ -61,8 +61,12 @@ def tile_counts_all_zooms(
         .agg(F.count(F.lit(1)).alias("doc_count"))
         # materialize once: three consumers (ancestor rollup, the split-id
         # broadcast, the deep-docs join) would otherwise each re-run the
-        # doc-scale groupBy; the checkpoint is O(base tiles), never O(docs)
-        .localCheckpoint(eager=True)
+        # doc-scale groupBy; the checkpoint is O(base tiles), never O(docs).
+        # Lazy (round 9): the splittable-count gate below materializes the
+        # blocks inside its own job — eager + take(1) was two driver
+        # barriers for one doc-scale pass; the exhaustive max_docs=None path
+        # (no gate job) materializes eagerly as before.
+        .localCheckpoint(eager=(max_docs is None or z_max <= z_base))
     )
     up = base.select(
         F.explode(
@@ -77,9 +81,12 @@ def tile_counts_all_zooms(
         )
         # Short-circuit (round 4): when NO base tile exceeds max_docs the
         # deep branch is a guaranteed-empty full pass over the docs (join
-        # against an empty broadcast). take(1) on the checkpointed base is
-        # O(1); at planet scale splittable tiles exist and the branch runs.
-        if max_docs is not None and not splittable.take(1):
+        # against an empty broadcast). Round 9: the gate is a count() over
+        # the LAZY base checkpoint — the same job computes the doc-scale
+        # aggregate, stores every checkpoint block (count scans all
+        # partitions, unlike take(1)), and returns the gate scalar; at
+        # planet scale splittable tiles exist and the branch runs.
+        if max_docs is not None and splittable.count() == 0:
             z0, _, _ = tiles.tile_unpack_exprs(F.col("tile_id"))
             return up.withColumn("zoom", z0)
         split_ids = splittable.select(F.col("tile_id").alias("_split_base"))

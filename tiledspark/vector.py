@@ -99,6 +99,24 @@ def with_lsh_buckets(df: DataFrame, emb_col: str = "embedding", dim: int = 64,
     )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before
+    interpreted-HOF cosine scoring (guide §2.5 'synthetic partitioning' /
+    §4: HOF lambdas are interpreted per element, so a small single-file
+    corpus arriving in ONE 32 MB split serializes the whole scoring pass
+    on one core — textops._ensure_parallelism is the same gate for the
+    shingle pass). A 100-TB scan arrives in thousands of splits and passes
+    through untouched; the gate only widens, never narrows, and costs no
+    job (partition count comes from the compiled plan). Results are
+    partitioning-independent: every caller ranks with a total order
+    (cos desc, id asc)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _cos_expr(a, b):
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -204,11 +222,15 @@ def ann_topk_lsh(
             .select(id_col, emb_col)
         )
 
-    cand = _cands(multiprobe).localCheckpoint()
+    # lazy checkpoint + count (round 9, guide §1/§2.6): the count job itself
+    # materializes every checkpoint partition, so each escalation gate costs
+    # ONE job instead of the eager-materialize-then-count two
+    cand = _cands(multiprobe).localCheckpoint(eager=False)
     if cand.count() < k:
-        cand = _cands(2).localCheckpoint()
+        cand = _cands(2).localCheckpoint(eager=False)
         if cand.count() < k:
-            cand = emb.select(id_col, emb_col)  # exact fallback: scan once
+            # exact fallback: scan once (widened — see _widen)
+            cand = _widen(emb.select(id_col, emb_col))
 
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
@@ -333,10 +355,12 @@ def ann_topk_ivf(
     cand = (
         assigned.where(F.col("centroid_id").isin(probe_ids))
         .select(id_col, emb_col)
-        .localCheckpoint()
+        # lazy: the count gate below materializes it in the same job
+        .localCheckpoint(eager=False)
     )
     if cand.count() < k:
-        cand = assigned.select(id_col, emb_col)  # probe everything: exact
+        # probe everything: exact (widened — see _widen)
+        cand = _widen(assigned.select(id_col, emb_col))
     return _topk(cand)
 
 
@@ -446,20 +470,22 @@ def ann_topk_lsh_batch(
             .select("query_id", id_col, emb_col)
         )
 
-    cand = _cands(_probe_df(multiprobe)).localCheckpoint()
+    # lazy checkpoints: the per-level _counts_by_query job materializes the
+    # candidate blocks itself (one job per escalation level, not two)
+    cand = _cands(_probe_df(multiprobe)).localCheckpoint(eager=False)
     have = _counts_by_query(cand)  # ONE count job for all N queries
     deficient = {q for q in qids if have.get(q, 0) < k}
     exact_q: list[int] = []
     have2: dict[int, int] = {}
     if deficient:
-        cand2 = _cands(_probe_df(2, deficient)).localCheckpoint()
+        cand2 = _cands(_probe_df(2, deficient)).localCheckpoint(eager=False)
         have2 = _counts_by_query(cand2)
         exact_q = sorted(q for q in deficient if have2.get(q, 0) < k)
         cand = cand.where(~F.col("query_id").isin(sorted(deficient))).unionByName(cand2)
         if exact_q:
             qdf = spark.createDataFrame([(q,) for q in exact_q], "query_id long")
             exact = (
-                emb.select(id_col, emb_col)
+                _widen(emb.select(id_col, emb_col))
                 .crossJoin(F.broadcast(qdf))
                 .select("query_id", id_col, emb_col)
             )
@@ -508,14 +534,15 @@ def ann_topk_ivf_batch(
     cand = (
         assigned.join(F.broadcast(probe_df), "centroid_id")
         .select("query_id", id_col, emb_col)
-        .localCheckpoint()
+        # lazy: the count job below materializes it (one job, not two)
+        .localCheckpoint(eager=False)
     )
     have = _counts_by_query(cand)  # ONE count job for all N queries
     exact_q = sorted(q for q in qids if have.get(q, 0) < k)
     if exact_q:
         qdf = spark.createDataFrame([(q,) for q in exact_q], "query_id long")
         exact = (
-            emb.select(id_col, emb_col)
+            _widen(emb.select(id_col, emb_col))
             .crossJoin(F.broadcast(qdf))
             .select("query_id", id_col, emb_col)
         )
