@@ -94,6 +94,17 @@ def main() -> None:
     idc, txt = args.id_col, args.text_col
 
     docs = spark.read.parquet(args.docs)
+    # fail fast (ADVICE r8): the packing schema (_PACK_SCHEMA) and the shard
+    # manifests carry doc_id as a 64-bit integer; a string-id corpus would
+    # otherwise fail (or corrupt) at Arrow conversion deep inside
+    # pack_sequences' applyInPandas
+    id_type = docs.schema[args.id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise SystemExit(
+            f"--id-col {args.id_col!r} has type {id_type}; the packing/"
+            "manifest schema requires a 64-bit-integer id — cast or remap "
+            "the id column first"
+        )
     ntc = args.n_tokens_col
     if ntc is None:
         ntc = "n_tokens"

@@ -132,6 +132,12 @@ def main() -> None:
                          "intl phones redacted); the original text column is "
                          "never mutated")
     args = ap.parse_args()
+    # fail fast (ADVICE r8): this pairing check used to run mid-pipeline,
+    # after stages 1a-1d had already burned the expensive front half of the
+    # run; validate with the other argparse-style checks, before any Spark
+    # action
+    if (args.quality_pos is None) != (args.quality_neg is None):
+        ap.error("--quality-pos and --quality-neg must be given together")
 
     from tiledspark.graph import dedup_keepers_with_labels
     from tiledspark.textops import (
@@ -280,8 +286,7 @@ def main() -> None:
     # Pareto soft threshold (or a hard floor), semi-join surviving ids.
     n_quality_clf_dropped = 0
     quality_train_acc = None
-    if (args.quality_pos is None) != (args.quality_neg is None):
-        ap.error("--quality-pos and --quality-neg must be given together")
+    # (pairing validated right after parse_args — before any Spark action)
     if args.quality_pos is not None:
         from tiledspark.quality import (
             pareto_keep_expr,

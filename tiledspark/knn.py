@@ -2,7 +2,7 @@
 "grid-partitioned kNN via cell-ring expansion").
 
 Strategy: geometrically growing block radii (×`growth` per round, default
-r = 1, 4, 16, ...). Round t explores the (2r+1)x(2r+1) tile block
+r = 1, 8, 64, ...). Round t explores the (2r+1)x(2r+1) tile block
 around each unresolved query: explode the block cells on
 the (small) query side, equi-join against the doc cell index, take each
 query's k nearest by haversine. A query RESOLVES when its kth distance is <=
@@ -68,7 +68,7 @@ def knn_cell_ring(
     max_radius: int = 64,
     _round_plans: list | None = None,
     adaptive_start: bool = False,
-    growth: int = 4,
+    growth: int = 8,
 ) -> DataFrame:
     """docs(lat, lon, <doc_key>), queries(query_id, lat, lon) ->
     (query_id, rank, <doc_key>, dist_m). Deterministic.
@@ -98,11 +98,13 @@ def knn_cell_ring(
     the done/survivor split derive from the materialized frame — the old
     shape materialized the resolved subset AND re-ran the whole join+window
     for the survivor stats, 2 doc-scale jobs per round). `growth` sets the
-    radius multiplier between rounds (default 4 → radii 1, 4, 16, 64): the
-    resolution rule is an exact per-round edge bound, so results are
-    identical for ANY growth factor — a larger factor trades a few more
-    candidate cells per round for proportionally fewer fixed-cost Spark
-    jobs, the dominant term for driver-loop rounds.
+    radius multiplier between rounds (round 9 default 8 → radii 1, 8, 64,
+    was 4 → 1, 4, 16, 64): the resolution rule is an exact per-round edge
+    bound, so results are identical for ANY growth factor — a larger factor
+    trades a few more candidate cells per round for proportionally fewer
+    fixed-cost driver rounds, the dominant term now that each round is one
+    Spark job (the r9 event-log audit measured knn wall dominated by
+    inter-job driver gaps, not task time).
     """
     if growth < 2:
         raise ValueError(
@@ -336,7 +338,7 @@ def knn_self_join(
     zoom: int = 8,
     doc_key: str = "url",
     max_radius: int = 64,
-    growth: int = 4,
+    growth: int = 8,
     adaptive_start: bool = True,
 ) -> DataFrame:
     """k nearest OTHER docs for EVERY doc (the all-pairs spatial workload:

@@ -136,10 +136,18 @@ def pareto_keep_expr(
     convention: X = (1-u)^(-1/alpha) - 1). u comes from xxhash64(id, seed)
     so the draw is reproducible and retry-stable. score=1 always keeps;
     score=0 keeps with probability 2^-alpha — the published soft threshold
-    that admits a calibrated trickle of low-scoring docs."""
+    that admits a calibrated trickle of low-scoring docs.
+
+    The hash is domain-separated with a "pareto" salt (round 9, ADVICE r8):
+    without it the draw is the identical expression assemble._uniform01
+    uses for deterministic_sample/mix_corpora, so at equal (default) seeds
+    every doc got the same u in the quality filter and the mixture sampler —
+    Pareto-trickle survivors (kept only because u was near 1) were then
+    almost never kept by any downsample with a smaller fraction, silently
+    eliminating the low-score trickle the rule is designed to admit."""
     buckets = 2**32
-    u = F.pmod(F.xxhash64(id_col, F.lit(int(seed))), F.lit(buckets)).cast(
-        "double"
-    ) / F.lit(float(buckets))
+    u = F.pmod(
+        F.xxhash64(F.lit("pareto"), id_col, F.lit(int(seed))), F.lit(buckets)
+    ).cast("double") / F.lit(float(buckets))
     x = F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0)
     return score > (F.lit(1.0) - x)

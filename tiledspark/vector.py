@@ -733,7 +733,10 @@ def knn_embedding_self_join(
         .withColumn("_rn", F.row_number().over(w_approx))
         .where(F.col("_rn") <= r)
         .select("query_id", "_did")
-        .localCheckpoint(eager=True)
+        # lazy (round 9): the deficiency take(1) below must build ok_q —
+        # which aggregates the FULL shortlist — before it can return, so the
+        # same job materializes these blocks; eager + take(1) was two jobs
+        .localCheckpoint(eager=False)
     )
 
     # deficiency stays DISTRIBUTED: a query is short iff its shortlist holds
@@ -982,7 +985,12 @@ def ann_params_for_recall(
     }
 
     def _frac(cand_rows: int) -> float:
-        return round(cand_rows / max(n_queries * (corpus_n - 1), 1), 4)
+        # denominator is n_queries * corpus_n (ADVICE r8): the candidate
+        # counts include each query's self-match row (and the exact fallback
+        # adds the full corpus incl. self), so dividing by (corpus_n - 1)
+        # slightly inflated the ratio and could push it past 1.0 on exact
+        # fallbacks; this keeps it bounded and comparable across rounds
+        return round(cand_rows / max(n_queries * corpus_n, 1), 4)
 
     trials: list[dict] = []
 
