@@ -294,9 +294,13 @@ def lsh_candidate_pairs(
     CANDIDATE DOCS ONLY via a semi join — at 100 TB the corpus is scanned
     exactly twice (once to band, once column-pruned for the candidate
     subset), versus the four full scans the round-6 self-join planned."""
+    # lazy (round 9): the verify stage's sig checkpoint job references the
+    # pair frame exactly once (the cand_ids semi-join broadcast), so that
+    # job materializes these blocks too — the band exchange still runs once,
+    # one fewer action barrier than the eager materialize-then-verify shape
     pairs = _candidate_pair_frame(
         df, id_col, text_col, k, num_perm, bands, bucket_cap
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return _verify_and_score(pairs, df, id_col, text_col, k, num_perm, est_threshold)
 
 
