@@ -272,14 +272,21 @@ def stream_near_dedupe(
         return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
 
     def _dedupe_batch(batch_df: DataFrame, batch_id: int):
-        batch_df = batch_df.localCheckpoint()
+        # lazy checkpoints throughout (round 9, the knn/ann/minhash fusion
+        # pattern): every checkpoint below is immediately followed by a
+        # full-scan stats action (count/agg) that materializes its blocks in
+        # the SAME job — the eager-materialize-then-count shape cost one
+        # extra job barrier per checkpoint per micro-batch
+        batch_df = batch_df.localCheckpoint(eager=False)
         n_in = batch_df.count()
         have_history = _has_parquet(sig_dir)
         n_replay = 0
         if have_history:
             sigs = spark.read.parquet(sig_dir)
             seen_ids = sigs.select(id_col).dropDuplicates([id_col])
-            fresh = batch_df.join(seen_ids, id_col, "left_anti").localCheckpoint()
+            fresh = batch_df.join(seen_ids, id_col, "left_anti").localCheckpoint(
+                eager=False
+            )
             n_replay = n_in - fresh.count()
         else:
             fresh = batch_df
@@ -297,7 +304,7 @@ def stream_near_dedupe(
         pairs = pairs.where(
             F.col("n_inter").cast("double")
             >= F.lit(min_jaccard) * F.col("n_union").cast("double")
-        ).select("id_a", "id_b").localCheckpoint()
+        ).select("id_a", "id_b").localCheckpoint(eager=False)
 
         new_ids = fresh.select(F.col(id_col).alias("id"))
         if pairs.take(1):
@@ -310,10 +317,23 @@ def stream_near_dedupe(
             drop_within = floating.join(
                 keep_floating.select("id"), "id", "left_anti"
             ).select("id")
-            n_hist = drop_hist.count()
-            n_within = drop_within.count()
-            dropped = drop_hist.unionByName(drop_within).withColumnRenamed("id", id_col)
-            kept = fresh.join(dropped, id_col, "left_anti").localCheckpoint()
+            # ONE stats job (was two counts): the tagged union's agg
+            # materializes the dropped checkpoint and returns both scalars;
+            # the kept anti-join below re-reads the blocks
+            dropped = (
+                drop_hist.withColumn("_vs_hist", F.lit(True))
+                .unionByName(drop_within.withColumn("_vs_hist", F.lit(False)))
+                .localCheckpoint(eager=False)
+            )
+            cnt = dropped.agg(
+                F.sum(F.col("_vs_hist").cast("int")).alias("n_hist"),
+                F.count(F.lit(1)).alias("n_all"),
+            ).collect()[0]
+            n_hist = int(cnt["n_hist"] or 0)
+            n_within = int(cnt["n_all"]) - n_hist
+            kept = fresh.join(
+                dropped.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            ).localCheckpoint(eager=False)
         else:
             n_hist = n_within = 0
             kept = fresh
