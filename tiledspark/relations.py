@@ -73,12 +73,17 @@ def assign_relations_to_tiles(
             .select("rel_id", "tile_id")
             .distinct()
         )
+        # ONE job per round (round 9, the knn/ann fusion pattern): the lazy
+        # delta checkpoint is materialized by its count() gate — and that
+        # same job computes the previous round's lazy `assigned` union
+        # (referenced once upstream, via the anti-join), so the separate
+        # eager-materialize job per checkpoint is gone. 3 jobs/round -> 1.
         delta = new_pairs.join(
             assigned, ["rel_id", "tile_id"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if not delta.take(1):
+        ).localCheckpoint(eager=False)
+        if delta.count() == 0:
             return assigned
-        assigned = assigned.unionByName(delta).localCheckpoint(eager=True)
+        assigned = assigned.unionByName(delta).localCheckpoint(eager=False)
     raise RuntimeError(
         f"relation tiling did not reach a fixpoint in {max_iters} iterations "
         "(membership graph deeper than max_iters?)"
