@@ -185,9 +185,14 @@ def main() -> None:
     ok_stop = F.col("_stop_ratio") >= args.min_stop_ratio
     lang_list = [s for s in (args.langs or "").split(",") if s]
     ok_lang = F.col("_lang").isin(lang_list) if lang_list else F.lit(True)
+    # Every stage checkpoint in this job is LAZY (round 9, the knn/ann/
+    # minhash fusion pattern): each is immediately followed by a full-scan
+    # stats action (agg/count) that materializes the blocks inside the job
+    # it already runs — the eager-materialize-then-aggregate shape cost one
+    # extra action barrier per stage (the round-8 TIMELINE job-count term).
     screened = screened.withColumn(
         "_ok", ok_tokens & ok_avg & ok_max & ok_stop & ok_lang
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     reasons = screened.agg(
         F.sum((~ok_tokens).cast("long")).alias("too_few_tokens"),
         F.sum((ok_tokens & ~ok_avg).cast("long")).alias("avg_token_too_long"),
@@ -205,7 +210,7 @@ def main() -> None:
     # comes after the cheap projection gate has already shed the junk
     rep_rejected = None
     if args.max_dup_line_frac is not None or args.max_top_bigram_frac is not None:
-        docs = repetition_stats(docs, id_col=idc, text_col=txt).localCheckpoint()
+        docs = repetition_stats(docs, id_col=idc, text_col=txt).localCheckpoint(eager=False)
         ok_line = (
             F.col("dup_line_char_frac") <= args.max_dup_line_frac
             if args.max_dup_line_frac is not None else F.lit(True)
@@ -226,10 +231,10 @@ def main() -> None:
     # self-trained on the survivors; see textops for the swap-to-KenLM note)
     surprisal_rejected = None
     if args.min_mean_surprisal is not None or args.max_mean_surprisal is not None:
-        ref = train_unigram_logprobs(docs, text_col=txt).localCheckpoint()
+        ref = train_unigram_logprobs(docs, text_col=txt).localCheckpoint(eager=False)
         docs = with_unigram_surprisal(
             docs, ref, id_col=idc, text_col=txt
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         ok_lo = (
             F.col("mean_surprisal") >= args.min_mean_surprisal
             if args.min_mean_surprisal is not None else F.lit(True)
@@ -273,7 +278,7 @@ def main() -> None:
             .where(F.col("n_hits") >= args.decontam_min_hits)
             .select(idc)
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_decontam_dropped = flagged.count()
         if n_decontam_dropped:
@@ -318,7 +323,7 @@ def main() -> None:
         # The semi-join also sheds docs the embedding path produced no
         # score row for (token-less text) — count the stage's drop as
         # before-minus-after so those are attributed here, not to dedup.
-        keep_ids = kept_scores.select(idc).localCheckpoint()
+        keep_ids = kept_scores.select(idc).localCheckpoint(eager=False)
         n_at_stage = (
             n_quality
             - sum((rep_rejected or {}).values())
@@ -342,7 +347,7 @@ def main() -> None:
     if args.boilerplate_max_df is not None:
         docs = drop_boilerplate_lines(
             docs, id_col=idc, text_col=txt, max_df=args.boilerplate_max_df
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_boiler_lines = docs.agg(F.sum("n_lines_dropped")).collect()[0][0] or 0
         txt = "text_clean"
 
@@ -358,12 +363,12 @@ def main() -> None:
     ).where(
         F.col("n_inter").cast("double")
         >= F.lit(args.min_jaccard) * F.col("n_union").cast("double")
-    ).select("id_a", "id_b").localCheckpoint()
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     n_pairs = pairs.count()
     kept, labels = dedup_keepers_with_labels(
         exact_docs, pairs, id_col=idc, impl=args.cc_impl
     )
-    kept = kept.localCheckpoint()
+    kept = kept.localCheckpoint(eager=False)
     n_kept = kept.count()
     n_components = labels.select("comp").distinct().count() if n_pairs else 0
 
@@ -395,7 +400,7 @@ def main() -> None:
             min_cos=args.semdedup_min_cos,
             k=args.semdedup_k,
             id_col=idc,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_semantic_dropped = drops.count()
         if n_semantic_dropped:
             kept = kept.join(drops, idc, "left_anti")
@@ -406,7 +411,7 @@ def main() -> None:
     pii_counts = None
     if args.scrub_pii:
         kept = scrub_pii(kept, text_col=args.text_col)
-        kept = kept.localCheckpoint()
+        kept = kept.localCheckpoint(eager=False)
         pii_counts = {
             k: int(v or 0)
             for k, v in kept.agg(
