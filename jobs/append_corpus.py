@@ -70,7 +70,7 @@ def main() -> None:
     ).where(
         F.col("n_inter").cast("double")
         >= F.lit(args.min_jaccard) * F.col("n_union").cast("double")
-    ).select("id_a", "id_b").localCheckpoint()
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     n_pairs = pairs.count()
 
     new_ids = new_docs.select(F.col(idc).alias("id")).localCheckpoint()
@@ -93,7 +93,7 @@ def main() -> None:
         dropped = drop_vs_base.unionByName(drop_within)
         kept = new_docs.join(
             dropped.withColumnRenamed("id", idc), idc, "left_anti"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     else:
         n_drop_base = n_drop_within = n_components = 0
         kept = new_docs

@@ -173,14 +173,17 @@ def main() -> None:
         # two actions over its input, and an unmaterialized
         # repartitionByRange may re-sample different range boundaries per
         # action (RangePartitioner seeds from the execution's rdd id),
-        # which would corrupt the stamped positions
+        # which would corrupt the stamped positions. Lazy (round 9): the
+        # checkpoint compiles the plan to ONE RDD at creation either way, so
+        # the range shuffle executes exactly once — the first stamping
+        # action materializes the blocks the second one re-reads
         thin = deterministic_shuffle(
             mixed.select(idc, "copy_idx"),
             seed=args.shuffle_seed,
             id_col=idc,
             num_partitions=args.shuffle_partitions,
             extra_key_cols=["copy_idx"],
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         manifest = with_shard(with_global_position(thin), args.rows_per_shard)
         manifest.write.mode("overwrite").parquet(args.out.rstrip("/") + "/manifest")
         stats["n_shards"] = manifest.agg(F.countDistinct("shard_id")).first()[0]

@@ -70,7 +70,7 @@ def main() -> None:
     if args.boilerplate_max_df is not None:
         docs = drop_boilerplate_lines(
             docs, id_col=idc, text_col=txt, max_df=args.boilerplate_max_df
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_boiler_lines = docs.agg(F.sum("n_lines_dropped")).collect()[0][0] or 0
         txt = "text_clean"
 
@@ -86,7 +86,7 @@ def main() -> None:
     ).where(
         F.col("n_inter").cast("double")
         >= F.lit(args.min_jaccard) * F.col("n_union").cast("double")
-    ).select("id_a", "id_b").localCheckpoint()
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     n_pairs = pairs.count()
 
     # 3. transitive components -> one keeper per component. The labels frame
@@ -96,7 +96,7 @@ def main() -> None:
     kept, labels = dedup_keepers_with_labels(
         exact_docs, pairs, id_col=idc, impl=args.cc_impl
     )
-    kept = kept.localCheckpoint()
+    kept = kept.localCheckpoint(eager=False)
     n_kept = kept.count()
     n_components = labels.select("comp").distinct().count() if n_pairs else 0
 
