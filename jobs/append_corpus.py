@@ -87,12 +87,23 @@ def main() -> None:
         drop_within = floating.join(
             keep_floating.select("id"), "id", "left_anti"
         ).select("id")
-        n_drop_base = drop_vs_base.count()
-        n_drop_within = drop_within.count()
+        # ONE stats job for both drop counts (round 9, the streaming-op
+        # fusion): the tagged union's agg materializes the dropped
+        # checkpoint the kept anti-join re-reads
+        dropped = (
+            drop_vs_base.withColumn("_vs_base", F.lit(True))
+            .unionByName(drop_within.withColumn("_vs_base", F.lit(False)))
+            .localCheckpoint(eager=False)
+        )
+        cnt = dropped.agg(
+            F.sum(F.col("_vs_base").cast("int")).alias("n_base"),
+            F.count(F.lit(1)).alias("n_all"),
+        ).collect()[0]
+        n_drop_base = int(cnt["n_base"] or 0)
+        n_drop_within = int(cnt["n_all"]) - n_drop_base
         n_components = labels.select("comp").distinct().count()
-        dropped = drop_vs_base.unionByName(drop_within)
         kept = new_docs.join(
-            dropped.withColumnRenamed("id", idc), idc, "left_anti"
+            dropped.select(F.col("id").alias(idc)), idc, "left_anti"
         ).localCheckpoint(eager=False)
     else:
         n_drop_base = n_drop_within = n_components = 0
